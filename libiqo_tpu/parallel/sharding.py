@@ -1,0 +1,202 @@
+"""Multi-chip scaling: device-mesh sharding for batched and spatial resize.
+
+The reference's only parallelism is OpenMP row striping in shared memory
+(ref: src/IQOLanczosResizerImpl_AVX512.cpp:269-308, src/IQOHWCap.cpp:14-30);
+it has no distributed backend at all.  The TPU-native equivalents:
+
+* **dp (batch/data parallel)** — shard the frame axis of a batch across the
+  mesh; resizing is embarrassingly parallel per frame so XLA inserts no
+  collectives at all (ICI stays idle, which is the point).
+* **sp (spatial / row sharding)** — shard source rows across devices for
+  frames too large (or latency-sensitive) for one chip.  The Y pass needs a
+  halo of neighbor rows (the tap window crosses shard boundaries); we
+  exchange fixed-size halos with mesh neighbors via ``jax.lax.ppermute``
+  inside ``shard_map`` — the only communication in the whole framework,
+  and it rides ICI between adjacent devices.
+
+tp/pp/ep have no analog here: there are no weight matrices to split, no
+layer pipeline, no experts — a resize plan's "weights" are KB-scale
+coefficient tables, replicated everywhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.plan import ResizePlan
+from ..ops import xla_resize
+
+__all__ = ["resize_batch_dp", "make_row_sharded_fn", "make_yuv_step_fn"]
+
+
+def resize_batch_dp(plan: ResizePlan, frames, mesh: Mesh, axis: str = "data"):
+    """Resize a (B, H, W) u8 batch with B sharded over ``axis``.
+
+    One compiled executable; no collectives (outputs stay sharded).
+    """
+    fn, operands = xla_resize.make_resize_fn(plan)
+    in_shard = NamedSharding(mesh, P(axis, None, None))
+    frames = jax.device_put(frames, in_shard)
+    ops = [jax.device_put(o, NamedSharding(mesh, P())) for o in operands]
+    jf = jax.jit(fn, out_shardings=in_shard)
+    return jf(*ops, frames)
+
+
+def _row_shard_layout(plan: ResizePlan, n: int):
+    """Host-side layout for row sharding: per-device output blocks, the
+    source band each needs, and the halo sizes to exchange with neighbors.
+
+    Requires dst_h and src_h divisible by n (pad upstream otherwise).
+    """
+    y = plan.y
+    src_h, dst_h = y.n_src, y.n_dst
+    if src_h % n or dst_h % n:
+        raise ValueError(f"src_h={src_h} and dst_h={dst_h} must divide the "
+                         f"row-shard count {n}")
+    hs, hd = src_h // n, dst_h // n
+    # source row range needed by each output block (OOB taps are zero-coef,
+    # so clip to valid rows)
+    starts = y.start
+    lo = np.array([max(0, int(starts[d * hd:(d + 1) * hd].min())) for d in range(n)])
+    hi = np.array([min(src_h, int(starts[d * hd:(d + 1) * hd].max()) + y.num_coefs)
+                   for d in range(n)])
+    halo_up = int(np.max(np.maximum(0, np.arange(n) * hs - lo)))
+    halo_dn = int(np.max(np.maximum(0, hi - (np.arange(n) + 1) * hs)))
+    # per-device Cy block over the (halo_up + hs + halo_dn) band
+    band = halo_up + hs + halo_dn
+    cy_full = plan.y.dense(np.int64)
+    cy_blocks = np.zeros((n, hd, band), dtype=np.int64)
+    for d in range(n):
+        base = d * hs - halo_up
+        for j in range(band):
+            s = base + j
+            if 0 <= s < src_h:
+                cy_blocks[d, :, j] = cy_full[d * hd:(d + 1) * hd, s]
+    return hs, hd, halo_up, halo_dn, cy_blocks
+
+
+def make_row_sharded_fn(plan: ResizePlan, mesh: Mesh, axis: str = "row"):
+    """Build a jitted (src_h, src_w) -> (dst_h, dst_w) resize with source
+    and output rows sharded over ``axis``; Y-pass halos move via ppermute.
+
+    Returns (fn, operands): call fn(*operands, src) with src row-sharded.
+    """
+    from jax import shard_map
+
+    n = mesh.shape[axis]
+    hs, hd, halo_up, halo_dn, cy_blocks = _row_shard_layout(plan, n)
+    t = xla_resize.build_tables(plan)
+    y_mode = t.y_mode
+
+    # pack per-device Cy blocks in the same exact-dot format
+    cy_pack = xla_resize._pack_matrix(cy_blocks.reshape(n * hd, -1), y_mode)
+    cy_pack = tuple(np.asarray(c).reshape(n, hd, -1) for c in cy_pack)
+
+    # X-pass tables are replicated (KB-scale next to the frames)
+    t_deno_x = jnp.asarray(t.deno_x)
+    t_border_x = jnp.asarray(t.border_x)
+
+    static = (plan.wrap16, plan.y.bias, plan.out_shift,
+              bool(plan.y.is_border.any()), bool(plan.x.is_border.any()),
+              y_mode, t.x_mode)
+    n_cy = len(cy_pack)
+
+    def local_fn(*args):
+        *ops, deno_y, border_y, src = args
+        cy_p = tuple(o[0] for o in ops[:n_cy])       # squeeze device dim
+        cxt_p = tuple(ops[n_cy:])
+        (wrap16, y_bias, out_shift, y_has_border, x_has_border,
+         ymode, xmode) = static
+
+        # ---- halo exchange over ICI --------------------------------------
+        idx = jax.lax.axis_index(axis)
+        parts = [src]
+        if halo_up:
+            tail = src[-halo_up:, :]
+            up = jax.lax.ppermute(tail, axis, [(i, (i + 1) % n) for i in range(n)])
+            parts.insert(0, jnp.where(idx > 0, up, jnp.zeros_like(up)))
+        if halo_dn:
+            head = src[:halo_dn, :]
+            dn = jax.lax.ppermute(head, axis, [(i, (i - 1) % n) for i in range(n)])
+            parts.append(jnp.where(idx < n - 1, dn, jnp.zeros_like(dn)))
+        band = jnp.concatenate(parts, axis=0) if len(parts) > 1 else src
+
+        # ---- local Y pass + border epilogue ------------------------------
+        nume = xla_resize._matmul_coef_left(cy_p, ymode, band)
+        if wrap16:
+            w = xla_resize._wrap_i16(nume)
+            if y_has_border:
+                bval = xla_resize._wrap_i16(
+                    xla_resize._trunc_div(w * y_bias, deno_y[0]))
+                w = jnp.where(border_y[0], bval, w)
+        else:
+            w = nume
+
+        # ---- local X pass (full width on every device) -------------------
+        sums = xla_resize._matmul_work_right(w, cxt_p, xmode)
+        half = 1 << (out_shift - 1)
+        main = (sums + half) >> out_shift
+        if x_has_border:
+            bval = xla_resize._trunc_div(sums + half, t_deno_x * y_bias)
+            v = jnp.where(t_border_x, bval, main)
+        else:
+            v = main
+        v = xla_resize._wrap_i16(v)
+        return jnp.clip(v, 0, 255).astype(jnp.uint8)
+
+    deno_y = np.where(plan.y.deno == 0, 1, plan.y.deno).astype(np.int32)
+    deno_y = deno_y.reshape(n, hd)[:, :, None]
+    border_y = plan.y.is_border.reshape(n, hd)[:, :, None]
+
+    in_specs = (
+        *[P(axis, None, None)] * n_cy,          # per-device Cy blocks
+        *[P()] * len(t.cxt),                    # replicated X tables
+        P(axis, None, None),                    # deno_y blocks
+        P(axis, None, None),                    # border_y blocks
+        P(axis, None),                          # src rows
+    )
+    sm = shard_map(local_fn, mesh=mesh,
+                   in_specs=in_specs, out_specs=P(axis, None))
+    operands = (*cy_pack, *t.cxt, deno_y, border_y)
+    return jax.jit(sm), operands
+
+
+def make_yuv_step_fn(mesh: Mesh, src_w: int, src_h: int, dst_w: int, dst_h: int,
+                     degree: int = 3, data_axis: str = "data"):
+    """The framework's full multi-chip "step": a batched YUV420 frame resize
+    (Y at full size, U/V at half size with px_scale=2,
+    ref: sample/resize_yuv420p.cpp:150-163) with the batch sharded over
+    ``data_axis``.  Frame-parallel resizing needs no collectives; the
+    row-sharded path (make_row_sharded_fn) covers the spatial axis.
+
+    Returns (step, operands): step(*operands, y, u, v) -> (Y', U', V').
+    """
+    from ..core.plan import build_plan
+
+    plan_l = build_plan("lanczos", src_w, src_h, dst_w, dst_h, degree=degree)
+    plan_c = build_plan("lanczos", src_w // 2, src_h // 2, dst_w // 2, dst_h // 2,
+                        degree=degree, px_scale=2)
+
+    fn_l, ops_l = xla_resize.make_resize_fn(plan_l)
+    fn_c, ops_c = xla_resize.make_resize_fn(plan_c)
+    n_l, n_c = len(ops_l), len(ops_c)
+
+    def step(*args):
+        ol = args[:n_l]
+        oc = args[n_l:n_l + n_c]
+        y, u, v = args[n_l + n_c:]
+        return fn_l(*ol, y), fn_c(*oc, u), fn_c(*oc, v)
+
+    batch_spec = P(data_axis, None, None)
+    shard_in = (
+        *[NamedSharding(mesh, P())] * (n_l + n_c),
+        NamedSharding(mesh, batch_spec),
+        NamedSharding(mesh, batch_spec),
+        NamedSharding(mesh, batch_spec),
+    )
+    jf = jax.jit(step, in_shardings=shard_in,
+                 out_shardings=NamedSharding(mesh, batch_spec))
+    return jf, (*ops_l, *ops_c)

@@ -75,11 +75,19 @@ class Resizer:
             return
         import jax
 
+        fn = operands = None
         if backend == "pallas":
             from .ops import pallas_resize
 
-            fn, operands = pallas_resize.make_resize_fn(self._plan)
-        else:
+            if pallas_resize.supports_plan(self._plan):
+                interpret = jax.devices()[0].platform != "tpu"
+                fn, operands = pallas_resize.make_resize_fn(
+                    self._plan, interpret=interpret)
+            # geometries outside the fast path fall back to the exact
+            # XLA formulation (the analog of the reference's Generic
+            # fallback when no SIMD impl applies,
+            # ref: src/IQOLanczosResizer.cpp:15-37)
+        if fn is None:
             from .ops import xla_resize
 
             fn, operands = xla_resize.make_resize_fn(self._plan)

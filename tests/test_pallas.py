@@ -1,0 +1,70 @@
+"""Pallas fused-kernel path vs the golden oracle (interpreter mode on CPU;
+the same kernel is validated compiled on real TPU by scripts/tpu_check.py).
+"""
+
+import numpy as np
+import pytest
+
+from libiqo_tpu.core.plan import build_plan
+from libiqo_tpu.golden import numpy_ref
+from libiqo_tpu.ops import pallas_resize
+
+RNG = np.random.default_rng(13)
+
+CASES = [
+    # algo, kwargs, sw, sh, dw, dh  (kept small: interpreter is slow)
+    ("lanczos", dict(degree=3), 960, 540, 480, 270),
+    ("lanczos", dict(degree=2), 320, 180, 480, 270),    # upsample
+    ("lanczos", dict(degree=3, px_scale=2), 480, 270, 240, 135),  # chroma
+    ("area", {}, 960, 540, 240, 135),
+    ("area", {}, 400, 300, 80, 60),                     # 5:1
+    ("linear", {}, 640, 480, 320, 240),
+    ("linear", {}, 64, 48, 128, 96),                    # upsample
+    ("lanczos", dict(degree=3), 480, 512, 480, 256),    # X identity
+    ("lanczos", dict(degree=3), 512, 270, 256, 270),    # Y identity
+    ("lanczos", dict(degree=4), 768, 432, 256, 144),    # 3:1 deg4
+]
+
+
+def _run(algo, kw, sw, sh, dw, dh):
+    import jax
+
+    plan = build_plan(algo, sw, sh, dw, dh, **kw)
+    if not pallas_resize.supports_plan(plan):
+        pytest.skip("geometry outside pallas fast path")
+    fn, ops = pallas_resize.make_resize_fn(plan, interpret=True)
+    src = RNG.integers(0, 256, (sh, sw), np.uint8)
+    got = np.asarray(jax.jit(fn)(*ops, src))
+    want = numpy_ref.resize_u8(plan, src)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"{c[0]}-{c[2]}x{c[3]}-{c[4]}x{c[5]}")
+def test_pallas_matches_oracle(case):
+    _run(*case)
+
+
+def test_pallas_batched():
+    import jax
+
+    plan = build_plan("lanczos", 256, 192, 128, 96, degree=3)
+    if not pallas_resize.supports_plan(plan):
+        pytest.skip("geometry outside pallas fast path")
+    fn, ops = pallas_resize.make_resize_fn(plan, interpret=True)
+    batch = RNG.integers(0, 256, (3, 192, 256), np.uint8)
+    got = np.asarray(jax.jit(fn)(*ops, batch))
+    for i in range(3):
+        np.testing.assert_array_equal(got[i], numpy_ref.resize_u8(plan, batch[i]))
+
+
+def test_unsupported_geometries_detected():
+    # prime sizes -> huge phase count -> must fall back
+    plan = build_plan("area", 97, 61, 31, 23)
+    assert not pallas_resize.supports_plan(plan)
+    # api falls back transparently
+    from libiqo_tpu import AreaResizer
+
+    r = AreaResizer(97, 61, 31, 23, backend="pallas")
+    src = RNG.integers(0, 256, (61, 97), np.uint8)
+    np.testing.assert_array_equal(
+        r.resize(src), numpy_ref.resize_u8(plan, src))

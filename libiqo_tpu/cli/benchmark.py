@@ -1,0 +1,147 @@
+"""Benchmark CLI, protocol-compatible with the reference harness
+(ref: benchmark/benchmark.cpp:882-1036):
+
+* ``-m method -iw W -ih H -ow W -oh H`` flags
+* seeded-random YUV420 planes (ref: :51-59,1013-1015)
+* N cycles (default 256, ref: :895), reporting the **min** ms/cycle
+* like the reference, the default protocol constructs the resizer every
+  cycle (ref: :1019-1031 constructs fresh iqo resizers per cycle); pass
+  ``--amortized`` for the construct-once number (the realistic serving mode)
+
+Optional side-by-side oracles (the reference's OpenCV/IPP comparison slots,
+ref: benchmark.cpp:23-29): ``--oracle cv`` uses cv2 if installed, and
+``--oracle pil`` uses PIL; both are skipped gracefully when unavailable.
+
+Extra TPU-native mode: ``--batch B`` measures batched throughput (frames
+pipelined through one executable), the number that matters for serving.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _rand_planes(w, h, batch=None, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if batch is None else (batch, h, w)
+    cshape = (h // 2, w // 2) if batch is None else (batch, h // 2, w // 2)
+    return (rng.integers(0, 256, shape, np.uint8),
+            rng.integers(0, 256, cshape, np.uint8),
+            rng.integers(0, 256, cshape, np.uint8))
+
+
+def _sync(*arrays):
+    import jax
+    jax.block_until_ready(arrays)
+    # force real completion through the transfer path (block_until_ready
+    # alone does not flush the axon tunnel)
+    return sum(int(np.asarray(a.ravel()[0])) for a in arrays)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="benchmark")
+    ap.add_argument("-m", default="area", help="linear | area | lanczos[1-9]")
+    ap.add_argument("-iw", type=int, default=1920)
+    ap.add_argument("-ih", type=int, default=1080)
+    ap.add_argument("-ow", type=int, default=640)
+    ap.add_argument("-oh", type=int, default=360)
+    ap.add_argument("--cycles", type=int, default=256)
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--amortized", action="store_true",
+                    help="construct once instead of per cycle")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="batched throughput mode (frames per executable call)")
+    ap.add_argument("--oracle", choices=["cv", "pil"], default=None)
+    args = ap.parse_args(argv)
+
+    from ..yuv import YUV420Frame, YUV420Resizer
+
+    print(f"    size: {args.ow}x{args.oh}")
+    print(f"  method: {args.m}  backend: {args.backend}")
+
+    if args.batch:
+        import jax
+        r = YUV420Resizer(args.m, args.iw, args.ih, args.ow, args.oh,
+                          backend=args.backend)
+        y, u, v = _rand_planes(args.iw, args.ih, args.batch)
+        dy, du, dv = (jax.device_put(a) for a in (y, u, v))
+        oy, ou, ov = r.resize_batch(dy, du, dv)
+        _sync(oy, ou, ov)
+        best = float("inf")
+        for _ in range(max(1, args.cycles // args.batch)):
+            t0 = time.perf_counter()
+            oy, ou, ov = r.resize_batch(dy, du, dv)
+            _sync(oy, ou, ov)
+            best = min(best, (time.perf_counter() - t0) / args.batch)
+        print(f"benchmark (batched x{args.batch})")
+        print(f"  elapsed time: {best*1e3:8.3f} ms/cycle")
+        print(f"  luma input:   {args.iw*args.ih/best/1e6:10,.1f} Mpix/s")
+        return 0
+
+    y, u, v = _rand_planes(args.iw, args.ih)
+    frame = YUV420Frame(y, u, v)
+    r = None
+    if args.amortized:
+        r = YUV420Resizer(args.m, args.iw, args.ih, args.ow, args.oh,
+                          backend=args.backend)
+        r.resize(frame)  # compile outside the timed region
+    best = float("inf")
+    for _ in range(args.cycles):
+        t0 = time.perf_counter()
+        rr = r or YUV420Resizer(args.m, args.iw, args.ih, args.ow, args.oh,
+                                backend=args.backend)
+        out = rr.resize(frame)
+        best = min(best, time.perf_counter() - t0)
+    mode = "amortized" if args.amortized else "per-cycle construction"
+    print(f"benchmark ({mode})")
+    print(f"  cycles: {args.cycles}")
+    print(f"  elapsed time: {best*1e3:8.3f} ms/cycle")
+
+    if args.oracle:
+        _run_oracle(args, frame)
+    return 0
+
+
+def _run_oracle(args, frame) -> None:
+    """Side-by-side third-party timing, like the reference's OpenCV/IPP
+    slots.  Comparison only — these do not share the fixed-point contract."""
+    if args.oracle == "cv":
+        try:
+            import cv2
+        except ImportError:
+            print("  oracle: cv2 not installed, skipping")
+            return
+        inter = {"area": cv2.INTER_AREA, "linear": cv2.INTER_LINEAR}.get(
+            args.m, cv2.INTER_LANCZOS4)
+        best = float("inf")
+        for _ in range(min(64, args.cycles)):
+            t0 = time.perf_counter()
+            cv2.resize(frame.y, (args.ow, args.oh), interpolation=inter)
+            cv2.resize(frame.u, (args.ow // 2, args.oh // 2), interpolation=inter)
+            cv2.resize(frame.v, (args.ow // 2, args.oh // 2), interpolation=inter)
+            best = min(best, time.perf_counter() - t0)
+        print(f"  oracle cv2: {best*1e3:8.3f} ms/cycle")
+    elif args.oracle == "pil":
+        try:
+            from PIL import Image
+        except ImportError:
+            print("  oracle: PIL not installed, skipping")
+            return
+        modes = {"area": Image.BOX, "linear": Image.BILINEAR}
+        m = modes.get(args.m, Image.LANCZOS)
+        best = float("inf")
+        for _ in range(min(64, args.cycles)):
+            t0 = time.perf_counter()
+            Image.fromarray(frame.y).resize((args.ow, args.oh), m)
+            Image.fromarray(frame.u).resize((args.ow // 2, args.oh // 2), m)
+            Image.fromarray(frame.v).resize((args.ow // 2, args.oh // 2), m)
+            best = min(best, time.perf_counter() - t0)
+        print(f"  oracle PIL: {best*1e3:8.3f} ms/cycle")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,116 @@
+"""YUV420 planar frame resizing — the reference's flagship workload.
+
+Mirrors sample/resize_yuv420p.cpp: the Y plane resizes at full size and the
+U/V planes at half size; Lanczos chroma passes px_scale=2 so the window
+support matches luma units (ref: sample/resize_yuv420p.cpp:150-163).  All
+three planes run as one fused jitted graph (construct-once, resize-many).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .api import AreaResizer, LanczosResizer, LinearResizer, Resizer
+
+__all__ = ["YUV420Frame", "YUV420Resizer", "read_yuv420", "write_yuv420"]
+
+
+@dataclasses.dataclass
+class YUV420Frame:
+    """One planar YUV420 frame: Y (h, w), U and V (h/2, w/2), all uint8."""
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+
+    @property
+    def width(self) -> int:
+        return self.y.shape[-1]
+
+    @property
+    def height(self) -> int:
+        return self.y.shape[-2]
+
+
+def _even(v: int) -> int:
+    """Strides rounded up to even, as the sample does
+    (ref: sample/resize_yuv420p.cpp:66-69)."""
+    return (v + 1) & ~1
+
+
+def read_yuv420(path: str, width: int, height: int, frames: int | None = None):
+    """Read raw planar YUV420 frames (the sample's file format,
+    ref: sample/resize_yuv420p.cpp:94-112)."""
+    w, h = _even(width), _even(height)
+    cw, ch = w // 2, h // 2
+    frame_bytes = w * h + 2 * cw * ch
+    data = np.fromfile(path, dtype=np.uint8)
+    n = len(data) // frame_bytes
+    if frames is not None:
+        n = min(n, frames)
+    out = []
+    for i in range(n):
+        f = data[i * frame_bytes:(i + 1) * frame_bytes]
+        y = f[: w * h].reshape(h, w)
+        u = f[w * h: w * h + cw * ch].reshape(ch, cw)
+        v = f[w * h + cw * ch:].reshape(ch, cw)
+        out.append(YUV420Frame(y, u, v))
+    return out
+
+
+def write_yuv420(path: str, frames) -> None:
+    with open(path, "wb") as fp:
+        for f in frames:
+            fp.write(np.ascontiguousarray(f.y).tobytes())
+            fp.write(np.ascontiguousarray(f.u).tobytes())
+            fp.write(np.ascontiguousarray(f.v).tobytes())
+
+
+class YUV420Resizer:
+    """Three-plane resizer bound to one geometry.
+
+    :param method: "linear" | "area" | "lanczosN" (N = degree 1..9)
+
+    Construct-once: three plans + jitted executables; ``resize`` accepts a
+    single frame or a list (batched through one executable per plane).
+    """
+
+    def __init__(self, method: str, src_w: int, src_h: int,
+                 dst_w: int, dst_h: int, backend: str = "auto"):
+        sw, sh = _even(src_w), _even(src_h)
+        dw, dh = _even(dst_w), _even(dst_h)
+        self.src_size = (sw, sh)
+        self.dst_size = (dw, dh)
+        self.method = method
+        if method.startswith("lanczos"):
+            degree = int(method[len("lanczos"):] or 3)
+            # chroma planes use px_scale=2 (ref: sample/resize_yuv420p.cpp:159)
+            self._luma: Resizer = LanczosResizer(degree, sw, sh, dw, dh,
+                                                 backend=backend)
+            self._chroma: Resizer = LanczosResizer(
+                degree, sw // 2, sh // 2, dw // 2, dh // 2, px_scale=2,
+                backend=backend)
+        elif method == "area":
+            self._luma = AreaResizer(sw, sh, dw, dh, backend=backend)
+            self._chroma = AreaResizer(sw // 2, sh // 2, dw // 2, dh // 2,
+                                       backend=backend)
+        elif method == "linear":
+            self._luma = LinearResizer(sw, sh, dw, dh, backend=backend)
+            self._chroma = LinearResizer(sw // 2, sh // 2, dw // 2, dh // 2,
+                                         backend=backend)
+        else:
+            raise ValueError(f"unknown method {method!r} "
+                             "(linear | area | lanczos[1-9])")
+
+    def resize(self, frame: YUV420Frame) -> YUV420Frame:
+        return YUV420Frame(
+            y=self._luma.resize(frame.y),
+            u=self._chroma.resize(frame.u),
+            v=self._chroma.resize(frame.v),
+        )
+
+    def resize_batch(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Batched planes (B, h, w)/(B, h/2, w/2) -> resized batch tuple."""
+        return (self._luma.resize(y), self._chroma.resize(u),
+                self._chroma.resize(v))

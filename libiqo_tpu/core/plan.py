@@ -37,7 +37,7 @@ import math
 
 import numpy as np
 
-from ..coeffs import engine
+from ..coeffs import engine, native
 
 __all__ = ["AxisPlan", "ResizePlan", "build_plan"]
 
@@ -130,10 +130,12 @@ def _axis_lanczos(degree: int, src_len: int, dst_len: int, px_scale: int,
     r_src, r_dst = src_len // g, dst_len // g
     num_coefs = engine.calc_num_coefs_lanczos(degree, r_src, r_dst, px_scale)
 
-    tables = np.empty((r_dst, num_coefs), dtype=np.int32)
-    for d in range(r_dst):
-        taps, f_sum = engine.set_lanczos_table(degree, r_src, r_dst, d, px_scale, num_coefs)
-        tables[d] = engine.adjust_coefs(taps, f_sum, bias)
+    tables = native.lanczos_tables(degree, r_src, r_dst, px_scale, num_coefs, bias)
+    if tables is None:
+        tables = np.empty((r_dst, num_coefs), dtype=np.int32)
+        for d in range(r_dst):
+            taps, f_sum = engine.set_lanczos_table(degree, r_src, r_dst, d, px_scale, num_coefs)
+            tables[d] = engine.adjust_coefs(taps, f_sum, bias)
 
     n_on2 = num_coefs // 2
     # main region: ceil((n_on2-1)*dst/src) .. floor((src-n_on2)*dst/src)
@@ -188,10 +190,12 @@ def _axis_area(src_len: int, dst_len: int, bias_bit: int) -> AxisPlan:
     g = engine.gcd(src_len, dst_len)
     r_src, r_dst = src_len // g, dst_len // g
     num_coefs = engine.calc_num_coefs_area(r_src, r_dst)
-    tables = np.empty((r_dst, num_coefs), dtype=np.int32)
-    for d in range(r_dst):
-        taps, f_sum = engine.set_area_table(r_src, r_dst, d, num_coefs)
-        tables[d] = engine.adjust_coefs(taps, f_sum, bias, signed=False)
+    tables = native.area_tables(r_src, r_dst, num_coefs, bias)
+    if tables is None:
+        tables = np.empty((r_dst, num_coefs), dtype=np.int32)
+        for d in range(r_dst):
+            taps, f_sum = engine.set_area_table(r_src, r_dst, d, num_coefs)
+            tables[d] = engine.adjust_coefs(taps, f_sum, bias, signed=False)
     coef = _expand_phases(tables, dst_len)
     start = engine.src_origin_floor(dst_len, src_len, dst_len)  # (ref: :279-280)
     coef, deno = _clip_oob(coef, start, src_len)
@@ -216,8 +220,10 @@ def _axis_linear(src_len: int, dst_len: int, bias_bit: int) -> AxisPlan:
     bias = 1 << bias_bit
     g = engine.gcd(src_len, dst_len)
     r_src, r_dst = src_len // g, dst_len // g
-    taps_f = engine.set_linear_table(r_src, r_dst)
-    tables = engine.adjust_coefs_linear(taps_f, bias)  # (r_dst, 2)
+    tables = native.linear_tables(r_src, r_dst, bias)
+    if tables is None:
+        taps_f = engine.set_linear_table(r_src, r_dst)
+        tables = engine.adjust_coefs_linear(taps_f, bias)  # (r_dst, 2)
     coef = _expand_phases(tables, dst_len).astype(np.int64)
     start = engine.src_origin_centered(dst_len, src_len, dst_len)
 

@@ -2,41 +2,46 @@
 
 This is the performance path (the analog of the reference's 12 hand-written
 SIMD translation units, ref: src/IQO*ResizerImpl_{SSE4_1,AVX2FMA,AVX512,
-NEON}.cpp) — but designed for the TPU memory hierarchy instead of
-transliterating CPU intrinsics:
+NEON}.cpp) — designed for the TPU memory hierarchy instead of
+transliterating CPU intrinsics.
 
-* One kernel fuses the Y pass, the int16 work rows, and the X pass in VMEM;
-  the reference's per-thread "work row" (ref: ...AVX512.cpp:227-229) becomes
-  a VMEM tile that never touches HBM.
-* **Y pass (VPU, banded):** the padded source is deinterleaved into
-  ``r_src`` row planes (one XLA reshape+transpose in HBM), so every tap's
-  row window is a *contiguous, statically-indexed* sublane slice — no
-  gathers, no relayouts.  Taps x phases unroll statically with the
-  quantized coefficients baked in as scalar constants; int32 FMAs on the
-  VPU reproduce the C integer arithmetic natively and exactly.
-* **X pass (MXU, block-dense):** per output-column tile, the banded X
-  matrix restricted to the source band is a small dense (band_w, tile_w)
-  matrix; the int16 work tile splits into hi/lo byte planes and the 16-bit
-  coefficients into hi/lo byte planes, so four single-pass bf16 MXU matmuls
-  compute the exact int32 sums (every product <= 2**16, every partial sum
-  < 2**24; int32 recombination wraps exactly like the reference's C
-  accumulator, ref: Generic.cpp:555,598).
+Formulation (SURVEY §7): a separable resize is two banded matmuls.  Per
+output tile, the banded coefficient matrices restricted to the tile's
+source band are small dense blocks, so both passes run on the MXU:
+
+    work = Cy_block @ band          (band: the tile's source rows x cols)
+    out  = epilogue(work @ Cx_block)
+
+* Every dot is *exactly* integer: operands split into 8-bit byte planes
+  (hi = c >> 8, lo = c & 255), so each single-pass bf16 MXU product is
+  exact and every partial sum stays < 2**24 (f32's exact range); int32
+  recombination wraps exactly like the reference's C accumulator
+  (ref: Generic.cpp:555,598).  When Y coefficients fit 8 bits (the common
+  case: Q6 Lanczos taps) the Y pass is a single dot per byte plane of the
+  source — i.e. one dot total.
+* The per-tile coefficient blocks are built host-side from the exact plan
+  tables — the TPU equivalent of the reference's lane-planar coefficient
+  unroll (ref: src/IQOLanczosResizerImpl_AVX512.cpp:187-215).  Because the
+  blocks encode per-output-row taps directly, *any* geometry works: no
+  phase-affinity requirements, no special cases for linear's edge
+  replication or lanczos' stale-iterator rows.
 * Borders cost nothing at runtime: zero padding makes out-of-range taps
-  contribute zero (== the reference dropping them), border renormalization
-  is a masked integer divide driven by per-row/per-column tables, and the
-  phase-periodic coefficient layout (the reference's lane-planar X unroll,
-  ref: ...AVX512.cpp:187-215) becomes the per-tile dense X blocks.
+  contribute zero (== the reference dropping them, Generic.cpp:563-570);
+  border renormalization is a masked integer divide from per-row/column
+  tables.  The reference's per-thread work row (ref: ...AVX512.cpp:227-229)
+  becomes a VMEM tile that never touches HBM.
+* Source band windows are Element-mode block specs at affine offsets
+  ``base + t*step`` (128/32-aligned by construction); non-divisible
+  geometries absorb the drift between the affine step and the true window
+  into extra band slack, computed exactly per tile at plan time.
 
-Geometry constraints for this path (checked by :func:`supports_plan`;
-callers fall back to ops.xla_resize otherwise): per-phase-affine source
-origins, reduced dst period (phases) <= 16 on the Y axis, X tap-sum bounds
-for bf16 exactness.  All graded BASELINE configs qualify.
+Geometries whose bands would blow VMEM, or whose tap sums exceed the bf16
+exactness bounds, fall back to ops.xla_resize (see :func:`supports_plan`).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 
 import jax
@@ -50,385 +55,265 @@ from ..core.plan import AxisPlan, ResizePlan
 
 __all__ = ["supports_plan", "make_resize_fn"]
 
-_MAX_Y_PHASES = 16
-_MAX_Y_UNROLL = 256          # phases * taps unroll budget
-_F32_EXACT_COEF_SUM = 65535  # X bf16 byte-plane exactness bound
-_BF16_MAX_COEFS = 258
-
-
-def _affine_check(ax: AxisPlan, skip_rows=()) -> bool:
-    """start[d + rD] - start[d] == rS for all non-override rows."""
-    r_d, n = ax.num_tables, ax.n_dst
-    r_s = ax.n_src // math.gcd(ax.n_src, ax.n_dst)
-    if n <= r_d:
-        return True
-    d = np.arange(n - r_d)
-    ok = ax.start[d + r_d] - ax.start[d] == r_s
-    keep = np.ones(n - r_d, dtype=bool)
-    for s in skip_rows:
-        if s < n - r_d:
-            keep[s] = False
-        if 0 <= s - r_d < n - r_d:
-            keep[s - r_d] = False
-    return bool(ok[keep].all())
-
-
-def _linear_override_rows(plan: ResizePlan):
-    """Linear border rows replicate the edge source row; they break the
-    phase-affine pattern and are patched in the epilogue."""
-    if plan.algorithm != "linear":
-        return ()
-    y = plan.y
-    rows = []
-    if y.n_dst >= 1:
-        rows.append((0, 0))                      # (dst row, src row)
-        if y.n_dst >= 2:
-            rows.append((y.n_dst - 1, y.n_src - 1))
-    return tuple(rows)
-
-
-def supports_plan(plan: ResizePlan) -> bool:
-    y, x = plan.y, plan.x
-    if y.num_tables > _MAX_Y_PHASES:
-        return False
-    if y.num_tables * y.num_coefs > _MAX_Y_UNROLL:
-        return False
-    if x.num_coefs > _BF16_MAX_COEFS:
-        return False
-    for ax in (y, x):
-        if int(np.abs(ax.coef.astype(np.int64)).sum(axis=1).max()) > _F32_EXACT_COEF_SUM:
-            return False
-    over = [r for r, _ in _linear_override_rows(plan)]
-    if not _affine_check(y, skip_rows=over):
-        return False
-    if plan.algorithm == "linear" and (y.reference_oob or x.reference_oob):
-        return False
-    # X needs no affinity (dense blocks), but its starts must be monotone so
-    # per-tile bands are contiguous windows; they always are.
-    return True
-
-
-def _round_up(v: int, m: int) -> int:
-    return -(-v // m) * m
+_F32_EXACT_COEF_SUM = 65535     # per-row sum(|coef|) bound for exact dots
+_VMEM_TILE_BUDGET = 10 << 20    # rough per-tile VMEM budget (bytes)
 
 
 @dataclasses.dataclass(frozen=True)
-class _Geometry:
-    """All static layout decisions for one plan."""
-    th: int; tw: int                  # output tile
-    n_ty: int; n_tx: int              # grid
-    r_sh: int; r_dh: int              # Y reduced ratio (src, dst)
-    kq: int                           # per-plane row-block length
-    q_step: int                       # plane-row offset step per ty
-    pad_t: int; pad_b: int            # row padding (pre-deinterleave)
-    pad_l: int; pad_r: int            # col padding
-    band_w: int; w_step: int
-    h_pad: int; w_pad: int
-    # static per-(phase, tap) plane coordinates
-    yoff: tuple                       # yoff[p][i] = (plane r, row q0)
-    coef_y: tuple                     # coef_y[p][i] int
+class _Axis:
+    """Tiling of one axis: output tile, affine band window, slack."""
+    tile: int            # output elements per tile
+    n_tiles: int
+    step: int            # band window offset step per tile (aligned)
+    band: int            # band window length (aligned)
+    pad_lo: int
+    pad_hi: int
+    n_pad: int           # padded source length
 
 
-def _plan_geometry(plan: ResizePlan, th_target: int = 256,
-                   tw_target: int = 256) -> _Geometry:
-    y, x = plan.y, plan.x
-    g_h = math.gcd(y.n_src, y.n_dst)
-    r_sh, r_dh = y.n_src // g_h, y.n_dst // g_h
-
-    # ---- output tile sizes -------------------------------------------
-    # TH: multiple of 32*r_dh so the per-tile plane-row offset
-    # ty*(TH/r_dh) is 32-aligned for u8 sublane windows.
-    th_unit = 32 * r_dh
-    th = th_unit * max(1, th_target // th_unit)
-    # TW: multiple of 128 with w_step = TW*r_sw/r_dw a multiple of 128
-    # (lane alignment of the per-tile band window).
-    g_w = math.gcd(x.n_src, x.n_dst)
-    r_sw, r_dw = x.n_src // g_w, x.n_dst // g_w
-    tw = 128
-    while (tw * r_sw) % (128 * r_dw) != 0:
-        tw += 128
-    tw *= max(1, tw_target // tw)
-
-    n_ty = -(-y.n_dst // th)
-    n_tx = -(-x.n_dst // tw)
-
-    # ---- Y per-phase tap coordinates -----------------------------------
-    # With zero padding, the correct taps are the *unclipped* phase values
-    # (padding contributes the zeros the reference's tap-dropping would);
-    # recover each phase's table from an interior row of that phase.
-    h_step = th * r_sh // r_dh            # source rows per ty step
-    q_step = th // r_dh                   # plane rows per ty step
-    over_rows = {d for d, _ in _linear_override_rows(plan)}
-    start0 = []
-    coef_y = []
-    for p in range(r_dh):
-        # derive the phase's affine base start and unclipped taps from an
-        # interior, non-override row of this phase (override rows — linear
-        # edge replication — and OOB-clipped rows don't follow the pattern)
-        s0 = None
-        crow = None
-        for d in range(p, y.n_dst, r_dh):
-            if d in over_rows:
-                continue
-            if s0 is None:
-                s0 = int(y.start[d]) - ((d - p) // r_dh) * r_sh
-            if crow is None and y.start[d] >= 0 and y.start[d] + y.num_coefs <= y.n_src:
-                crow = y.coef[d]
-        if s0 is None:   # phase consists only of override rows: unused
-            s0 = (p * r_sh) // r_dh
-        if crow is None:  # no fully-interior row: use the first (clipped
-            # taps are then wrong only where padding already yields zero)
-            crow = y.coef[min(p, y.n_dst - 1)]
-        start0.append(s0)
-        coef_y.append(tuple(int(v) for v in crow))
-    coef_y = tuple(coef_y)
-
-    pad_t = _round_up(max(0, -min(start0)), r_sh)
-    yoff = tuple(
-        tuple(((pad_t + start0[p] + i) % r_sh, (pad_t + start0[p] + i) // r_sh)
-              for i in range(y.num_coefs))
-        for p in range(r_dh)
-    )
-    kq = _round_up(max(q0 for row in yoff for _r, q0 in row)
-                   + th // r_dh, 32)
-    need_plane_rows = (n_ty - 1) * q_step + kq
-    h_pad = _round_up(max(pad_t + y.n_src, need_plane_rows * r_sh), 32 * r_sh)
-    pad_b = h_pad - pad_t - y.n_src
-
-    # ---- X padding and band ------------------------------------------
-    w_step = tw * r_sw // r_dw
-    startx = x.start.astype(np.int64)
-    pad_l = _round_up(max(0, -int(startx.min())), 128)
-    # per-tile band: cols [tx*w_step, tx*w_step + band_w) in padded coords
-    band_hi = 0
-    band_lo = 0
-    for tx in range(n_tx):
-        c0, c1 = tx * tw, min((tx + 1) * tw, x.n_dst)
-        s_lo = int(startx[c0:c1].min()) + pad_l
-        s_hi = int(startx[c0:c1].max()) + pad_l + x.num_coefs
-        band_lo = min(band_lo, s_lo - tx * w_step)
-        band_hi = max(band_hi, s_hi - tx * w_step)
-    if band_lo < 0:
-        # shift padding so every band starts at a non-negative offset
-        pad_l += _round_up(-band_lo, 128)
-        band_hi += _round_up(-band_lo, 128)
-    band_w = _round_up(band_hi, 128)
-    w_pad = _round_up(max(pad_l + x.n_src, (n_tx - 1) * w_step + band_w), 128)
-    pad_r = w_pad - pad_l - x.n_src
-
-    return _Geometry(
-        th=th, tw=tw, n_ty=n_ty, n_tx=n_tx, r_sh=r_sh, r_dh=r_dh,
-        kq=kq, q_step=q_step, pad_t=pad_t, pad_b=pad_b,
-        pad_l=pad_l, pad_r=pad_r, band_w=band_w, w_step=w_step,
-        h_pad=h_pad, w_pad=w_pad, yoff=yoff, coef_y=coef_y,
-    )
+def _tile_axis(ax: AxisPlan, tile: int, align: int):
+    """Pick the affine band window ``base + t*step`` covering every tile's
+    true source range [min start, max start + taps), with any drift between
+    the affine step and the true windows folded into the band length.
+    Offsets and lengths are ``align``-multiples (Mosaic's divisibility
+    prover needs it).  Returns (_Axis, base) with base in padded coords."""
+    n_tiles = -(-ax.n_dst // tile)
+    start = ax.start.astype(np.int64)
+    lo = np.empty(n_tiles, np.int64)
+    hi = np.empty(n_tiles, np.int64)
+    for t in range(n_tiles):
+        d0, d1 = t * tile, min((t + 1) * tile, ax.n_dst)
+        lo[t] = start[d0:d1].min()
+        hi[t] = start[d0:d1].max() + ax.num_coefs
+    # affine step ~ tile * src/dst, rounded down to alignment
+    step = (tile * ax.n_src // ax.n_dst) // align * align
+    base = int((lo - step * np.arange(n_tiles)).min())
+    base = base // align * align                  # align down, extend band
+    pad_lo = -(-max(0, -base) // align) * align   # shift base into >= 0
+    band = int((hi - (base + step * np.arange(n_tiles))).max())
+    band = -(-band // align) * align
+    base_padded = base + pad_lo
+    n_pad = base_padded + step * (n_tiles - 1) + band
+    n_pad = max(n_pad, pad_lo + ax.n_src)
+    n_pad = -(-n_pad // align) * align
+    pad_hi = n_pad - pad_lo - ax.n_src
+    return _Axis(tile, n_tiles, step, band, pad_lo, pad_hi, n_pad), base_padded
 
 
-def _build_x_blocks(plan: ResizePlan, geo: _Geometry):
-    """Dense per-tile X blocks (n_tx, band_w, tw), split into byte planes."""
-    x = plan.x
-    n_dst_pad = geo.n_tx * geo.tw
-    blocks = np.zeros((geo.n_tx, geo.band_w, geo.tw), np.int64)
-    for tx in range(geo.n_tx):
-        base = tx * geo.w_step
-        c0 = tx * geo.tw
-        for c in range(geo.tw):
-            d = c0 + c
-            if d >= x.n_dst:
-                break
-            s0 = int(x.start[d]) + geo.pad_l - base
-            for i in range(x.num_coefs):
-                j = s0 + i
-                if 0 <= j < geo.band_w:
-                    blocks[tx, j, c] += _unclipped_x_coef(plan, d, i)
+def _byte_planes(blocks: np.ndarray):
+    """Split int blocks into exact bf16 byte planes; single plane when the
+    values already fit 8 bits."""
+    if blocks.min() >= 0 and blocks.max() <= 255:
+        return ((blocks.astype(np.float32).astype(jnp.bfloat16)), ), (1,)
     hi = (blocks >> 8).astype(np.float32).astype(jnp.bfloat16)
     lo = (blocks & 255).astype(np.float32).astype(jnp.bfloat16)
-    return hi, lo
+    return (hi, lo), (256, 1)
 
 
-def _unclipped_x_coef(plan: ResizePlan, d: int, i: int) -> int:
-    """X tap value for output d: the plan's (possibly OOB-clipped) value is
-    wrong once zero padding replaces clipping — padding contributes zero on
-    its own, so the *unclipped* phase value must be scattered.  Recover it
-    from an interior row of the same phase."""
-    x = plan.x
-    if 0 <= int(x.start[d]) + i < x.n_src:
-        return int(x.coef[d, i])
-    p = d % x.num_tables
-    for dd in range(p, x.n_dst, x.num_tables):
-        if x.start[dd] >= 0 and x.start[dd] + x.num_coefs <= x.n_src:
-            return int(x.coef[dd, i])
-    return int(x.coef[d, i])
+def _unclipped_coef(ax: AxisPlan, d: int, i: int) -> int:
+    """Tap value with OOB clipping undone (zero padding supplies the zeros
+    the reference's tap-dropping would)."""
+    if 0 <= int(ax.start[d]) + i < ax.n_src:
+        return int(ax.coef[d, i])
+    p = d % ax.num_tables
+    for dd in range(p, ax.n_dst, ax.num_tables):
+        if ax.start[dd] >= 0 and ax.start[dd] + ax.num_coefs <= ax.n_src:
+            return int(ax.coef[dd, i])
+    return int(ax.coef[d, i])
+
+
+def _build_blocks(ax: AxisPlan, t_ax: _Axis, base: int, transpose: bool):
+    """Dense per-tile coefficient blocks.
+
+    Y (transpose=False): (n_tiles, tile, band) so w = block @ band_rows.
+    X (transpose=True):  (n_tiles, band, tile) so out = work @ block.
+    """
+    n, tile, band = t_ax.n_tiles, t_ax.tile, t_ax.band
+    shape = (n, band, tile) if transpose else (n, tile, band)
+    blocks = np.zeros(shape, np.int64)
+    for t in range(n):
+        off = base + t_ax.step * t
+        for k in range(tile):
+            d = t * tile + k
+            if d >= ax.n_dst:
+                break
+            s0 = int(ax.start[d]) + t_ax.pad_lo - off
+            for i in range(ax.num_coefs):
+                j = s0 + i
+                if 0 <= j < band:
+                    v = _unclipped_coef(ax, d, i)
+                    if transpose:
+                        blocks[t, j, k] += v
+                    else:
+                        blocks[t, k, j] += v
+    return blocks
+
+
+def _tiles(plan: ResizePlan, th_target: int, tw_target: int):
+    th = min(-(-plan.y.n_dst // 32) * 32, -(-th_target // 32) * 32)
+    tw = min(-(-plan.x.n_dst // 128) * 128, -(-tw_target // 128) * 128)
+    return th, tw
+
+
+def _plan_ok(plan: ResizePlan, th_target: int, tw_target: int) -> bool:
+    y, x = plan.y, plan.x
+    for ax in (y, x):
+        if int(np.abs(ax.coef.astype(np.int64)).sum(axis=1).max()) > _F32_EXACT_COEF_SUM:
+            return False
+        # byte-plane exactness: rows with > 258 taps can overflow the lo
+        # plane's 2**24 sum bound
+        if ax.num_coefs > 258:
+            return False
+    th, tw = _tiles(plan, th_target, tw_target)
+    ty, _ = _tile_axis(y, th, 32)
+    tx, _ = _tile_axis(x, tw, 128)
+    # rough VMEM estimate: band + work + coef blocks + dot temps
+    est = (ty.band * tx.band            # u8 band
+           + 4 * th * tx.band           # i32 work
+           + 2 * 2 * th * ty.band       # Y blocks (<=2 planes)
+           + 2 * 2 * tx.band * tw       # X blocks
+           + 4 * 4 * th * tw)           # dot temps
+    return est <= _VMEM_TILE_BUDGET
+
+
+def supports_plan(plan: ResizePlan, th_target: int = 128,
+                  tw_target: int = 512) -> bool:
+    """True when the fused kernel path handles this plan exactly (see
+    module docstring); otherwise callers use ops.xla_resize."""
+    return _plan_ok(plan, th_target, tw_target)
 
 
 def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
-                   th_target: int = 256, tw_target: int = 256):
-    """Build (fn, host_operands) with fn(*operands, src) jittable over
-    (..., src_h, src_w) u8 arrays, exactly like xla_resize.make_resize_fn.
+                   th_target: int = 128, tw_target: int = 512,
+                   grid_order: str = "xy"):
+    """Build (fn, host_operands): fn(*operands, src) jittable over
+    (..., src_h, src_w) u8 arrays (same contract as xla_resize).
 
-    ``interpret=True`` runs the kernel in the Pallas interpreter (for CPU
-    testing; the compiled Mosaic path needs a real TPU).
+    ``grid_order="xy"`` iterates column tiles in the outer grid dimension so
+    the X coefficient blocks stay VMEM-resident across the row sweep.
     """
-    if not supports_plan(plan):
+    if not _plan_ok(plan, th_target, tw_target):
         raise ValueError("plan not supported by the pallas path; use xla_resize")
 
-    geo = _plan_geometry(plan, th_target=th_target, tw_target=tw_target)
     y, x = plan.y, plan.x
-    th, tw, band_w, kq = geo.th, geo.tw, geo.band_w, geo.kq
-    r_sh, r_dh = geo.r_sh, geo.r_dh
-    k_rows = th // r_dh
+    th, tw = _tiles(plan, th_target, tw_target)
+    ty_ax, y_base = _tile_axis(y, th, 32)
+    tx_ax, x_base = _tile_axis(x, tw, 128)
+    n_ty, n_tx = ty_ax.n_tiles, tx_ax.n_tiles
+    band_h, band_w = ty_ax.band, tx_ax.band
+
+    cy_planes, cy_scale = _byte_planes(_build_blocks(y, ty_ax, y_base, False))
+    cx_planes, cx_scale = _byte_planes(_build_blocks(x, tx_ax, x_base, True))
+    n_cy, n_cx = len(cy_planes), len(cx_planes)
+
     wrap16 = plan.wrap16
     y_bias = y.bias
     out_shift = plan.out_shift
     half = 1 << (out_shift - 1)
     y_has_border = bool(y.is_border.any())
     x_has_border = bool(x.is_border.any())
-    overrides = _linear_override_rows(plan)
 
-    cx_hi, cx_lo = _build_x_blocks(plan, geo)
-
-    # per-row Y tables, padded to the tile grid
-    n_rows_pad = geo.n_ty * th
+    n_rows_pad = n_ty * th
     deno_y = np.ones((n_rows_pad, 1), np.int32)
     deno_y[: y.n_dst, 0] = np.where(y.deno == 0, 1, y.deno)
     border_y = np.zeros((n_rows_pad, 1), np.int32)
     border_y[: y.n_dst, 0] = y.is_border.astype(np.int32)
-    ovr_y = np.zeros((n_rows_pad, 1), np.int32)
-    for k, (d, _s) in enumerate(overrides):
-        ovr_y[d, 0] = k + 1  # distinct ids: top=1, bottom=2
-
-    n_cols_pad = geo.n_tx * tw
+    n_cols_pad = n_tx * tw
     deno_x = np.ones((1, n_cols_pad), np.int32)
     deno_x[0, : x.n_dst] = np.where(x.deno == 0, 1, x.deno)
     border_x = np.zeros((1, n_cols_pad), np.int32)
     border_x[0, : x.n_dst] = x.is_border.astype(np.int32)
 
-    # linear Y override source rows, in plane coordinates (valid only in
-    # the tiles that contain them; masked elsewhere)
-    ovr_plane = []
-    for d, s in overrides:
-        j = geo.pad_t + s
-        ty = d // th
-        q_in_block = j // r_sh - ty * geo.q_step
-        ovr_plane.append((d, j % r_sh, q_in_block))
+    f32 = jnp.float32
 
     def kernel(*refs):
-        band_refs = refs[:r_sh]
-        (cxh_ref, cxl_ref, dy_ref, by_ref, oy_ref,
-         dx_ref, bx_ref, out_ref) = refs[r_sh:]
-        # ---- Y pass: banded VPU FMAs over contiguous residue slices ----
-        # The padded source is viewed as (h_pad/r_sh, r_sh*w_pad) — a FREE
-        # reshape that lays each row-residue out as a contiguous lane
-        # window; band_refs[r] is residue r's band (no transpose anywhere).
-        phase_results = []
-        for p in range(r_dh):
-            acc = None
-            for i in range(y.num_coefs):
-                c = geo.coef_y[p][i]
-                if c == 0:
-                    continue
-                r, q0 = geo.yoff[p][i]
-                sl = band_refs[r][q0:q0 + k_rows, :].astype(jnp.int32)
-                acc = c * sl if acc is None else acc + c * sl
-            if acc is None:
-                acc = jnp.zeros((k_rows, band_w), jnp.int32)
-            phase_results.append(acc)
-        if r_dh == 1:
-            nume = phase_results[0]
-        else:
-            nume = jnp.stack(phase_results, axis=1).reshape(th, band_w)
+        band_ref = refs[0]
+        cy_refs = refs[1:1 + n_cy]
+        cx_refs = refs[1 + n_cy:1 + n_cy + n_cx]
+        dy_ref, by_ref, dx_ref, bx_ref, out_ref = refs[1 + n_cy + n_cx:]
 
+        # u8 -> bf16 must route through i32 (Mosaic has no direct cast)
+        band = band_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+
+        # ---- Y pass: work = Cy @ band -----------------------------------
+        nume = None
+        for cref, s in zip(cy_refs, cy_scale):
+            d = jnp.dot(cref[...], band, preferred_element_type=f32).astype(jnp.int32)
+            nume = d * s if nume is None else nume + d * s
         if wrap16:
             w = ((nume + 32768) & 65535) - 32768
             if y_has_border:
-                dy = dy_ref[...]
-                by = by_ref[...]
-                bval = jax.lax.div(w * y_bias, jnp.broadcast_to(dy, w.shape))
+                bval = jax.lax.div(w * y_bias,
+                                   jnp.broadcast_to(dy_ref[...], w.shape))
                 bval = ((bval + 32768) & 65535) - 32768
-                w = jnp.where(by > 0, bval, w)
+                w = jnp.where(by_ref[...] > 0, bval, w)
         else:
             w = nume
 
-        # linear border rows: replicate the edge source row (masked, with a
-        # distinct id per override so both can share a tile on tiny images)
-        for k, (d, r, q_in_block) in enumerate(ovr_plane):
-            oy = oy_ref[...]
-            q_safe = max(0, min(kq - 1, q_in_block))
-            rep = band_refs[r][q_safe:q_safe + 1, :].astype(jnp.int32) * y_bias
-            w = jnp.where(oy == k + 1, jnp.broadcast_to(rep, w.shape), w)
+        # ---- X pass: sums = work @ Cx (byte-plane split of work) --------
+        w_lo = (w & 255).astype(jnp.bfloat16)
+        w_hi = (w >> 8).astype(jnp.bfloat16)
+        sums = None
+        for cref, s in zip(cx_refs, cx_scale):
+            c = cref[...]
+            hi = jnp.dot(w_hi, c, preferred_element_type=f32).astype(jnp.int32)
+            lo = jnp.dot(w_lo, c, preferred_element_type=f32).astype(jnp.int32)
+            part = hi * 256 + lo
+            sums = part * s if sums is None else sums + part * s
 
-        # ---- X pass: block-dense byte-plane MXU matmuls ----------------
-        wl = (w & 255).astype(jnp.bfloat16)
-        wh = (w >> 8).astype(jnp.bfloat16)
-        cxh = cxh_ref[...]
-        cxl = cxl_ref[...]
-        f32 = jnp.float32
-        hh = jnp.dot(wh, cxh, preferred_element_type=f32).astype(jnp.int32)
-        hl = jnp.dot(wh, cxl, preferred_element_type=f32).astype(jnp.int32)
-        lh = jnp.dot(wl, cxh, preferred_element_type=f32).astype(jnp.int32)
-        ll = jnp.dot(wl, cxl, preferred_element_type=f32).astype(jnp.int32)
-        sums = hh * 65536 + (hl + lh) * 256 + ll
-
+        # ---- rounding epilogue ------------------------------------------
         main = (sums + half) >> out_shift
         if x_has_border:
-            dx = dx_ref[...]
-            bx = bx_ref[...]
-            bval = jax.lax.div(sums + half, jnp.broadcast_to(dx * y_bias, sums.shape))
-            v = jnp.where(bx > 0, bval, main)
+            bval = jax.lax.div(sums + half,
+                               jnp.broadcast_to(dx_ref[...] * y_bias, sums.shape))
+            v = jnp.where(bx_ref[...] > 0, bval, main)
         else:
             v = main
         v = ((v + 32768) & 65535) - 32768
         out_ref[...] = jnp.clip(v, 0, 255).astype(jnp.uint8)
 
     E = pallas_core.Element
-    grid = (geo.n_ty, geo.n_tx)
+    if grid_order == "xy":
+        grid = (n_tx, n_ty)
+        gy = lambda tx, ty: ty
+        gx = lambda tx, ty: tx
+    else:
+        grid = (n_ty, n_tx)
+        gy = lambda ty, tx: ty
+        gx = lambda ty, tx: tx
 
-    def _band_spec(r):
-        # pl.multiple_of: Mosaic's divisibility prover doesn't fold the
-        # constant residue offset into (const + k*step) on its own
-        return pl.BlockSpec(
-            (E(kq), E(band_w)),
-            lambda ty, tx, r=r: (
-                pl.multiple_of(ty * geo.q_step, 32),
-                pl.multiple_of(r * geo.w_pad + tx * geo.w_step, 128),
-            ),
-            memory_space=pltpu.VMEM)
+    specs = [
+        pl.BlockSpec(
+            (E(band_h), E(band_w)),
+            lambda *g: (pl.multiple_of(y_base + gy(*g) * ty_ax.step, 32),
+                        pl.multiple_of(x_base + gx(*g) * tx_ax.step, 128)),
+            memory_space=pltpu.VMEM),
+        *[pl.BlockSpec((None, th, band_h), lambda *g: (gy(*g), 0, 0),
+                       memory_space=pltpu.VMEM)] * n_cy,
+        *[pl.BlockSpec((None, band_w, tw), lambda *g: (gx(*g), 0, 0),
+                       memory_space=pltpu.VMEM)] * n_cx,
+        pl.BlockSpec((th, 1), lambda *g: (gy(*g), 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((th, 1), lambda *g: (gy(*g), 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tw), lambda *g: (0, gx(*g)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tw), lambda *g: (0, gx(*g)), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((th, tw), lambda *g: (gy(*g), gx(*g)),
+                            memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
-        kernel,
-        grid=grid,
+        kernel, grid=grid,
         out_shape=jax.ShapeDtypeStruct((y.n_dst, x.n_dst), jnp.uint8),
-        in_specs=[
-            # r_sh residue views of the reshaped (h_pad/r_sh, r_sh*w_pad)
-            # source; residue r's columns start at r*w_pad
-            *[_band_spec(r) for r in range(r_sh)],
-            pl.BlockSpec((None, band_w, tw), lambda ty, tx: (tx, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, band_w, tw), lambda ty, tx: (tx, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, 1), lambda ty, tx: (ty, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, 1), lambda ty, tx: (ty, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, 1), lambda ty, tx: (ty, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tw), lambda ty, tx: (0, tx), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tw), lambda ty, tx: (0, tx), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((th, tw), lambda ty, tx: (ty, tx),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
+        in_specs=specs, out_specs=out_spec, interpret=interpret,
     )
-
-    def prepare(src: jax.Array) -> jax.Array:
-        """Pad one (src_h, src_w) u8 image and view it as
-        (h_pad/r_sh, r_sh*w_pad): residues land in adjacent lane windows —
-        a free reshape, no transpose, no extra HBM pass beyond the pad."""
-        p = jnp.pad(src, ((geo.pad_t, geo.pad_b), (geo.pad_l, geo.pad_r)))
-        return p.reshape(geo.h_pad // r_sh, r_sh * geo.w_pad)
 
     def fn(*args):
         *ops, src = args
+
         def one(im):
-            v = prepare(im)
-            return call(*([v] * r_sh), *ops)
+            v = jnp.pad(im, ((ty_ax.pad_lo, ty_ax.pad_hi),
+                             (tx_ax.pad_lo, tx_ax.pad_hi)))
+            return call(v, *ops)
+
         if src.ndim == 2:
             return one(src)
         batch_shape = src.shape[:-2]
@@ -436,5 +321,5 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
         out = jax.vmap(one)(flat)
         return out.reshape(batch_shape + out.shape[-2:])
 
-    operands = (cx_hi, cx_lo, deno_y, border_y, ovr_y, deno_x, border_x)
+    operands = (*cy_planes, *cx_planes, deno_y, border_y, deno_x, border_x)
     return fn, operands

@@ -57,14 +57,21 @@ def test_pallas_batched():
         np.testing.assert_array_equal(got[i], numpy_ref.resize_u8(plan, batch[i]))
 
 
-def test_unsupported_geometries_detected():
-    # prime sizes -> huge phase count -> must fall back
-    plan = build_plan("area", 97, 61, 31, 23)
+def test_prime_geometry_supported():
+    # gcd=1 prime sizes work through the dense-block formulation
+    _run("area", {}, 97, 61, 31, 23)
+    _run("lanczos", dict(degree=3), 97, 61, 31, 23)
+    _run("linear", {}, 97, 61, 31, 23)
+
+
+def test_unsupported_geometry_falls_back():
+    # > 258 taps per output overflows the byte-plane exactness bound
+    plan = build_plan("area", 8192, 4, 16, 4)
     assert not pallas_resize.supports_plan(plan)
-    # api falls back transparently
+    # api falls back transparently to the XLA path
     from libiqo_tpu import AreaResizer
 
-    r = AreaResizer(97, 61, 31, 23, backend="pallas")
-    src = RNG.integers(0, 256, (61, 97), np.uint8)
+    r = AreaResizer(8192, 4, 16, 4, backend="pallas")
+    src = RNG.integers(0, 256, (4, 8192), np.uint8)
     np.testing.assert_array_equal(
         r.resize(src), numpy_ref.resize_u8(plan, src))

@@ -35,8 +35,8 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    batch = 8 if on_tpu else 1
-    inner = 16 if on_tpu else 2
+    batch = 16 if on_tpu else 1
+    inner = 12 if on_tpu else 2
     reps = 3 if on_tpu else 1
 
     r = YUV420Resizer("lanczos3", SRC_W, SRC_H, DST_W, DST_H,
@@ -56,15 +56,20 @@ def main() -> None:
     cfn, cops = chroma._jitted, chroma._operands
 
     def run(y, u, v):
-        def body(i, acc):
-            yy = jax.lax.dynamic_update_slice(
+        # y is loop-carried so the 1-byte CSE-defeating perturbation updates
+        # it in place instead of copying the whole batch every iteration
+        uv = jnp.concatenate([u, v])  # U+V share a plan: one fused call
+
+        def body(i, carry):
+            y, acc = carry
+            y = jax.lax.dynamic_update_slice(
                 y, i.astype(jnp.uint8).reshape(1, 1, 1), (0, 0, 0))
-            oy = lfn(*lops, yy)
-            ou = cfn(*cops, u)
-            ov = cfn(*cops, v)
-            return (acc ^ oy[:, :8, :128] ^ ou[:, :8, :128] ^ ov[:, :8, :128])
-        acc = jax.lax.fori_loop(0, inner, body,
-                                jnp.zeros((batch, 8, 128), jnp.uint8))
+            oy = lfn(*lops, y)
+            ouv = cfn(*cops, uv)
+            return y, (acc ^ oy[:, :8, :128] ^ ouv[:batch, :8, :128]
+                       ^ ouv[batch:, :8, :128])
+        _, acc = jax.lax.fori_loop(0, inner, body,
+                                   (y, jnp.zeros((batch, 8, 128), jnp.uint8)))
         return acc[0, 0, 0]
 
     jrun = jax.jit(run)

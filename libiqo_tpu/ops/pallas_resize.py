@@ -304,6 +304,10 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
         kernel, grid=grid,
         out_shape=jax.ShapeDtypeStruct((y.n_dst, x.n_dst), jnp.uint8),
         in_specs=specs, out_specs=out_spec, interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )
 
     def fn(*args):

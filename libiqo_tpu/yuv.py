@@ -104,13 +104,17 @@ class YUV420Resizer:
                              "(linear | area | lanczos[1-9])")
 
     def resize(self, frame: YUV420Frame) -> YUV420Frame:
-        return YUV420Frame(
-            y=self._luma.resize(frame.y),
-            u=self._chroma.resize(frame.u),
-            v=self._chroma.resize(frame.v),
-        )
+        # U and V share a plan: one batched executable call for both
+        uv = np.stack([frame.u, frame.v])
+        ouv = self._chroma.resize(uv)
+        return YUV420Frame(y=self._luma.resize(frame.y), u=ouv[0], v=ouv[1])
 
-    def resize_batch(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
-        """Batched planes (B, h, w)/(B, h/2, w/2) -> resized batch tuple."""
-        return (self._luma.resize(y), self._chroma.resize(u),
-                self._chroma.resize(v))
+    def resize_batch(self, y, u, v):
+        """Batched planes (B, h, w)/(B, h/2, w/2) -> resized batch tuple.
+        U and V are fused through one chroma executable call."""
+        import jax.numpy as jnp
+
+        cat = np.concatenate if isinstance(u, np.ndarray) else jnp.concatenate
+        ouv = self._chroma.resize(cat([u, v]))
+        b = u.shape[0]
+        return self._luma.resize(y), ouv[:b], ouv[b:]

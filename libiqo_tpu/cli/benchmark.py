@@ -56,14 +56,20 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=0,
                     help="batched throughput mode (frames per executable call)")
     ap.add_argument("--oracle", choices=["cv", "pil"], default=None)
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the timed region")
     args = ap.parse_args(argv)
 
+    from ..utils.device import describe
     from ..yuv import YUV420Frame, YUV420Resizer
 
     print(f"    size: {args.ow}x{args.oh}")
     print(f"  method: {args.m}  backend: {args.backend}")
+    print(f"  device: {describe()}")
 
     if args.batch:
+        import contextlib
+
         import jax
         r = YUV420Resizer(args.m, args.iw, args.ih, args.ow, args.oh,
                           backend=args.backend)
@@ -71,15 +77,20 @@ def main(argv=None) -> int:
         dy, du, dv = (jax.device_put(a) for a in (y, u, v))
         oy, ou, ov = r.resize_batch(dy, du, dv)
         _sync(oy, ou, ov)
+        prof = (jax.profiler.trace(args.profile) if args.profile
+                else contextlib.nullcontext())
         best = float("inf")
-        for _ in range(max(1, args.cycles // args.batch)):
-            t0 = time.perf_counter()
-            oy, ou, ov = r.resize_batch(dy, du, dv)
-            _sync(oy, ou, ov)
-            best = min(best, (time.perf_counter() - t0) / args.batch)
+        with prof:
+            for _ in range(max(1, args.cycles // args.batch)):
+                t0 = time.perf_counter()
+                oy, ou, ov = r.resize_batch(dy, du, dv)
+                _sync(oy, ou, ov)
+                best = min(best, (time.perf_counter() - t0) / args.batch)
         print(f"benchmark (batched x{args.batch})")
         print(f"  elapsed time: {best*1e3:8.3f} ms/cycle")
         print(f"  luma input:   {args.iw*args.ih/best/1e6:10,.1f} Mpix/s")
+        if args.profile:
+            print(f"  profile: {args.profile}")
         return 0
 
     y, u, v = _rand_planes(args.iw, args.ih)

@@ -150,9 +150,47 @@ def _build_blocks(ax: AxisPlan, t_ax: _Axis, base: int, transpose: bool):
 
 
 def _tiles(plan: ResizePlan, th_target: int, tw_target: int):
+    if th_target == 0 or tw_target == 0:
+        return _auto_tiles(plan)
     th = min(-(-plan.y.n_dst // 32) * 32, -(-th_target // 32) * 32)
     tw = min(-(-plan.x.n_dst // 128) * 128, -(-tw_target // 128) * 128)
     return th, tw
+
+
+_MXU_RATE = 48e12      # measured effective bf16 MAC*2/s on this chip
+_STEP_OVERHEAD = 5e-6  # per grid step
+_DMA_RATE = 6e11
+
+
+def _auto_tiles(plan: ResizePlan):
+    """Pick (th, tw) minimizing a simple cost model: MXU flops (band
+    over-fetch scales X flops), per-grid-step overhead, and band DMA."""
+    y, x = plan.y, plan.x
+    n_cy = 1 if (y.coef.min() >= 0 and y.coef.max() <= 255) else 2
+    best, best_cost = None, float("inf")
+    for th in (128, 256):
+        th_eff = min(-(-y.n_dst // 32) * 32, th)
+        for tw in (128, 256, 384, 512):
+            tw_eff = min(-(-x.n_dst // 128) * 128, tw)
+            ty, _ = _tile_axis(y, th_eff, 32)
+            tx, _ = _tile_axis(x, tw_eff, 128)
+            n_tiles = ty.n_tiles * tx.n_tiles
+            rows_pad = ty.n_tiles * th_eff
+            cols_pad = tx.n_tiles * tw_eff
+            flops = 2 * (rows_pad * tx.n_tiles * tx.band * ty.band * n_cy  # Y
+                         + rows_pad * cols_pad * tx.band * 4)              # X
+            dma = n_tiles * (ty.band * tx.band             # u8 band
+                             + 2 * tx.band * tw_eff * 2)   # X blocks (bf16)
+            cost = flops / _MXU_RATE + n_tiles * _STEP_OVERHEAD + dma / _DMA_RATE
+            # VMEM feasibility
+            est = (ty.band * tx.band + 4 * th_eff * tx.band
+                   + 2 * 2 * th_eff * ty.band + 2 * 2 * tx.band * tw_eff
+                   + 4 * 4 * th_eff * tw_eff)
+            if est > _VMEM_TILE_BUDGET:
+                continue
+            if cost < best_cost:
+                best, best_cost = (th_eff, tw_eff), cost
+    return best if best else (128, 128)
 
 
 def _plan_ok(plan: ResizePlan, th_target: int, tw_target: int) -> bool:
@@ -176,15 +214,16 @@ def _plan_ok(plan: ResizePlan, th_target: int, tw_target: int) -> bool:
     return est <= _VMEM_TILE_BUDGET
 
 
-def supports_plan(plan: ResizePlan, th_target: int = 128,
-                  tw_target: int = 512) -> bool:
+def supports_plan(plan: ResizePlan, th_target: int = 0,
+                  tw_target: int = 0) -> bool:
     """True when the fused kernel path handles this plan exactly (see
-    module docstring); otherwise callers use ops.xla_resize."""
+    module docstring); otherwise callers use ops.xla_resize.
+    th/tw_target of 0 = auto-tuned tile sizes."""
     return _plan_ok(plan, th_target, tw_target)
 
 
 def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
-                   th_target: int = 128, tw_target: int = 512,
+                   th_target: int = 0, tw_target: int = 0,
                    grid_order: str = "xy"):
     """Build (fn, host_operands): fn(*operands, src) jittable over
     (..., src_h, src_w) u8 arrays (same contract as xla_resize).

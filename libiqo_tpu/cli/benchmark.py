@@ -79,16 +79,20 @@ def main(argv=None) -> int:
         _sync(oy, ou, ov)
         prof = (jax.profiler.trace(args.profile) if args.profile
                 else contextlib.nullcontext())
-        best = float("inf")
+        reps = max(1, args.cycles // args.batch)
         with prof:
-            for _ in range(max(1, args.cycles // args.batch)):
-                t0 = time.perf_counter()
-                oy, ou, ov = r.resize_batch(dy, du, dv)
-                _sync(oy, ou, ov)
-                best = min(best, (time.perf_counter() - t0) / args.batch)
-        print(f"benchmark (batched x{args.batch})")
-        print(f"  elapsed time: {best*1e3:8.3f} ms/cycle")
-        print(f"  luma input:   {args.iw*args.ih/best/1e6:10,.1f} Mpix/s")
+            # streaming mode: keep calls in flight (async dispatch), sync
+            # once — one host round-trip (~30 ms on tunneled devices)
+            # amortized over all frames instead of per call
+            t0 = time.perf_counter()
+            outs = []
+            for _ in range(reps):
+                outs.append(r.resize_batch(dy, du, dv))
+            _sync(*outs[-1])
+            dt = (time.perf_counter() - t0) / (reps * args.batch)
+        print(f"benchmark (batched x{args.batch}, {reps} calls in flight)")
+        print(f"  elapsed time: {dt*1e3:8.3f} ms/cycle")
+        print(f"  luma input:   {args.iw*args.ih/dt/1e6:10,.1f} Mpix/s")
         if args.profile:
             print(f"  profile: {args.profile}")
         return 0

@@ -61,7 +61,15 @@ _VMEM_TILE_BUDGET = 10 << 20    # rough per-tile VMEM budget (bytes)
 
 @dataclasses.dataclass(frozen=True)
 class _Axis:
-    """Tiling of one axis: output tile, affine band window, slack."""
+    """Tiling of one axis: output tile, affine band window, slack.
+
+    ``halo``: when > 0, the band decomposes as [main: step][halo] with
+    halo | step, so both pieces are pure Blocked windows (offset =
+    block-index * block-shape).  Blocked windows take Mosaic's native
+    pipelining; Element windows fall back to the slower XLA pipeline
+    emitter (measured ~4x per-step overhead), so we only use Element when
+    no divisor-aligned halo exists.
+    """
     tile: int            # output elements per tile
     n_tiles: int
     step: int            # band window offset step per tile (aligned)
@@ -69,6 +77,7 @@ class _Axis:
     pad_lo: int
     pad_hi: int
     n_pad: int           # padded source length
+    halo: int = 0        # 0 = Element mode for this axis
 
 
 def _tile_axis(ax: AxisPlan, tile: int, align: int):
@@ -86,18 +95,32 @@ def _tile_axis(ax: AxisPlan, tile: int, align: int):
         lo[t] = start[d0:d1].min()
         hi[t] = start[d0:d1].max() + ax.num_coefs
     # affine step ~ tile * src/dst, rounded down to alignment
-    step = (tile * ax.n_src // ax.n_dst) // align * align
+    step = max(align, (tile * ax.n_src // ax.n_dst) // align * align)
     base = int((lo - step * np.arange(n_tiles)).min())
     base = base // align * align                  # align down, extend band
-    pad_lo = -(-max(0, -base) // align) * align   # shift base into >= 0
-    band = int((hi - (base + step * np.arange(n_tiles))).max())
+    # fold base into the padding so window t starts exactly at t*step —
+    # then main+halo decompose into pure Blocked windows
+    pad_lo = -(-max(0, -base) // align) * align
+    band = int((hi + pad_lo - step * np.arange(n_tiles)).max())
     band = -(-band // align) * align
-    base_padded = base + pad_lo
-    n_pad = base_padded + step * (n_tiles - 1) + band
+
+    # halo: smallest align-multiple divisor of step covering band - step
+    halo = 0
+    need = band - step
+    if need > 0:
+        for h in range(align, step + 1, align):
+            if step % h == 0 and h >= need:
+                halo = h
+                break
+        if halo:
+            band = step + halo
+        # halo == 0 with need > 0 => Element-mode fallback for this axis
+
+    n_pad = step * (n_tiles - 1) + band
     n_pad = max(n_pad, pad_lo + ax.n_src)
     n_pad = -(-n_pad // align) * align
     pad_hi = n_pad - pad_lo - ax.n_src
-    return _Axis(tile, n_tiles, step, band, pad_lo, pad_hi, n_pad), base_padded
+    return _Axis(tile, n_tiles, step, band, pad_lo, pad_hi, n_pad, halo), 0
 
 
 def _byte_planes(blocks: np.ndarray):
@@ -241,9 +264,34 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
     n_ty, n_tx = ty_ax.n_tiles, tx_ax.n_tiles
     band_h, band_w = ty_ax.band, tx_ax.band
 
-    cy_planes, cy_scale = _byte_planes(_build_blocks(y, ty_ax, y_base, False))
-    cx_planes, cx_scale = _byte_planes(_build_blocks(x, tx_ax, x_base, True))
+    # band decomposition into pure Blocked windows (fast Mosaic pipeline);
+    # segment layout [(offset, length), ...] per axis
+    blocked = ((ty_ax.halo > 0 or band_h == ty_ax.step)
+               and (tx_ax.halo > 0 or band_w == tx_ax.step))
+    row_segs = [(0, min(ty_ax.step, band_h))]
+    if ty_ax.halo:
+        row_segs.append((ty_ax.step, ty_ax.halo))
+    col_segs = [(0, min(tx_ax.step, band_w))]
+    if tx_ax.halo:
+        col_segs.append((tx_ax.step, tx_ax.halo))
+
+    cy_full = _build_blocks(y, ty_ax, y_base, False)
+    cx_full = _build_blocks(x, tx_ax, x_base, True)
+    cy_planes, cy_scale = _byte_planes(cy_full)
+    cx_planes, cx_scale = _byte_planes(cx_full)
     n_cy, n_cx = len(cy_planes), len(cx_planes)
+    if blocked:
+        # segment each plane to match the band pieces (Y along the band
+        # rows = dim 2; X along the band rows = dim 1)
+        cy_ops = [np.ascontiguousarray(p[:, :, o:o + l])
+                  for p in (np.asarray(q) for q in cy_planes)
+                  for (o, l) in row_segs]
+        cx_ops = [np.ascontiguousarray(p[:, o:o + l, :])
+                  for p in (np.asarray(q) for q in cx_planes)
+                  for (o, l) in col_segs]
+    else:
+        cy_ops = [np.asarray(p) for p in cy_planes]
+        cx_ops = [np.asarray(p) for p in cx_planes]
 
     wrap16 = plan.wrap16
     y_bias = y.bias
@@ -264,41 +312,56 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
     border_x[0, : x.n_dst] = x.is_border.astype(np.int32)
 
     f32 = jnp.float32
+    n_rs, n_cs = len(row_segs), len(col_segs)
+    n_band = n_rs * n_cs if blocked else 1
 
     def kernel(*refs):
-        band_ref = refs[0]
-        cy_refs = refs[1:1 + n_cy]
-        cx_refs = refs[1 + n_cy:1 + n_cy + n_cx]
-        dy_ref, by_ref, dx_ref, bx_ref, out_ref = refs[1 + n_cy + n_cx:]
+        band_refs = refs[:n_band]
+        cy_refs = refs[n_band:n_band + n_cy * (n_rs if blocked else 1)]
+        cx_refs = refs[n_band + len(cy_refs):
+                       n_band + len(cy_refs) + n_cx * (n_cs if blocked else 1)]
+        dy_ref, by_ref, dx_ref, bx_ref, out_ref = \
+            refs[n_band + len(cy_refs) + len(cx_refs):]
 
-        # u8 -> bf16 must route through i32 (Mosaic has no direct cast)
-        band = band_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+        def to_bf16(r):
+            # u8 -> bf16 must route through i32 (no direct Mosaic cast)
+            return r[...].astype(jnp.int32).astype(jnp.bfloat16)
 
-        # ---- Y pass: work = Cy @ band -----------------------------------
-        nume = None
-        for cref, s in zip(cy_refs, cy_scale):
-            d = jnp.dot(cref[...], band, preferred_element_type=f32).astype(jnp.int32)
-            nume = d * s if nume is None else nume + d * s
-        if wrap16:
-            w = ((nume + 32768) & 65535) - 32768
-            if y_has_border:
-                bval = jax.lax.div(w * y_bias,
-                                   jnp.broadcast_to(dy_ref[...], w.shape))
-                bval = ((bval + 32768) & 65535) - 32768
-                w = jnp.where(by_ref[...] > 0, bval, w)
-        else:
-            w = nume
+        # ---- Y pass per column segment: work = sum_r Cy_r @ band_(r,c) --
+        w_segs = []
+        for c in range(n_cs if blocked else 1):
+            nume = None
+            for p in range(n_cy):
+                for r in range(n_rs if blocked else 1):
+                    cref = cy_refs[p * (n_rs if blocked else 1) + r]
+                    bref = band_refs[r * n_cs + c] if blocked else band_refs[0]
+                    d = jnp.dot(cref[...], to_bf16(bref),
+                                preferred_element_type=f32).astype(jnp.int32)
+                    d = d * cy_scale[p]
+                    nume = d if nume is None else nume + d
+            if wrap16:
+                w = ((nume + 32768) & 65535) - 32768
+                if y_has_border:
+                    bval = jax.lax.div(w * y_bias,
+                                       jnp.broadcast_to(dy_ref[...], w.shape))
+                    bval = ((bval + 32768) & 65535) - 32768
+                    w = jnp.where(by_ref[...] > 0, bval, w)
+            else:
+                w = nume
+            w_segs.append(w)
 
-        # ---- X pass: sums = work @ Cx (byte-plane split of work) --------
-        w_lo = (w & 255).astype(jnp.bfloat16)
-        w_hi = (w >> 8).astype(jnp.bfloat16)
+        # ---- X pass: sums = sum_c work_c @ Cx_c (byte-plane split) ------
         sums = None
-        for cref, s in zip(cx_refs, cx_scale):
-            c = cref[...]
-            hi = jnp.dot(w_hi, c, preferred_element_type=f32).astype(jnp.int32)
-            lo = jnp.dot(w_lo, c, preferred_element_type=f32).astype(jnp.int32)
-            part = hi * 256 + lo
-            sums = part * s if sums is None else sums + part * s
+        for c, w in enumerate(w_segs):
+            w_lo = (w & 255).astype(jnp.bfloat16)
+            w_hi = (w >> 8).astype(jnp.bfloat16)
+            for p in range(n_cx):
+                cref = cx_refs[p * (n_cs if blocked else 1) + c]
+                cc = cref[...]
+                hi = jnp.dot(w_hi, cc, preferred_element_type=f32).astype(jnp.int32)
+                lo = jnp.dot(w_lo, cc, preferred_element_type=f32).astype(jnp.int32)
+                part = (hi * 256 + lo) * cx_scale[p]
+                sums = part if sums is None else sums + part
 
         # ---- rounding epilogue ------------------------------------------
         main = (sums + half) >> out_shift
@@ -321,16 +384,32 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
         gy = lambda ty, tx: ty
         gx = lambda ty, tx: tx
 
-    specs = [
-        pl.BlockSpec(
+    if blocked:
+        band_specs = []
+        for (ro, rl) in row_segs:
+            for (co, cl) in col_segs:
+                def imap(*g, ro=ro, rl=rl, co=co, cl=cl):
+                    return (gy(*g) * (ty_ax.step // rl) + ro // rl,
+                            gx(*g) * (tx_ax.step // cl) + co // cl)
+                band_specs.append(pl.BlockSpec((rl, cl), imap,
+                                               memory_space=pltpu.VMEM))
+    else:
+        band_specs = [pl.BlockSpec(
             (E(band_h), E(band_w)),
             lambda *g: (pl.multiple_of(y_base + gy(*g) * ty_ax.step, 32),
                         pl.multiple_of(x_base + gx(*g) * tx_ax.step, 128)),
-            memory_space=pltpu.VMEM),
-        *[pl.BlockSpec((None, th, band_h), lambda *g: (gy(*g), 0, 0),
-                       memory_space=pltpu.VMEM)] * n_cy,
-        *[pl.BlockSpec((None, band_w, tw), lambda *g: (gx(*g), 0, 0),
-                       memory_space=pltpu.VMEM)] * n_cx,
+            memory_space=pltpu.VMEM)]
+
+    n_cy_refs = n_cy * (n_rs if blocked else 1)
+    n_cx_refs = n_cx * (n_cs if blocked else 1)
+    specs = [
+        *band_specs,
+        *[pl.BlockSpec((None,) + cy_ops[i].shape[1:],
+                       lambda *g: (gy(*g), 0, 0), memory_space=pltpu.VMEM)
+          for i in range(n_cy_refs)],
+        *[pl.BlockSpec((None,) + cx_ops[i].shape[1:],
+                       lambda *g: (gx(*g), 0, 0), memory_space=pltpu.VMEM)
+          for i in range(n_cx_refs)],
         pl.BlockSpec((th, 1), lambda *g: (gy(*g), 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((th, 1), lambda *g: (gy(*g), 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tw), lambda *g: (0, gx(*g)), memory_space=pltpu.VMEM),
@@ -355,7 +434,7 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
         def one(im):
             v = jnp.pad(im, ((ty_ax.pad_lo, ty_ax.pad_hi),
                              (tx_ax.pad_lo, tx_ax.pad_hi)))
-            return call(v, *ops)
+            return call(*([v] * n_band), *ops)
 
         if src.ndim == 2:
             return one(src)
@@ -364,5 +443,5 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
         out = jax.vmap(one)(flat)
         return out.reshape(batch_shape + out.shape[-2:])
 
-    operands = (*cy_planes, *cx_planes, deno_y, border_y, deno_x, border_x)
+    operands = (*cy_ops, *cx_ops, deno_y, border_y, deno_x, border_x)
     return fn, operands

@@ -59,6 +59,11 @@ _F32_EXACT_COEF_SUM = 65535     # per-row sum(|coef|) bound for exact dots
 _VMEM_TILE_BUDGET = 10 << 20    # rough per-tile VMEM budget (bytes)
 
 
+def _reduced(ax: AxisPlan):
+    g = math.gcd(ax.n_src, ax.n_dst)
+    return ax.n_src // g, ax.n_dst // g
+
+
 @dataclasses.dataclass(frozen=True)
 class _Axis:
     """Tiling of one axis: output tile, affine band window, slack.
@@ -150,25 +155,46 @@ def _build_blocks(ax: AxisPlan, t_ax: _Axis, base: int, transpose: bool):
 
     Y (transpose=False): (n_tiles, tile, band) so w = block @ band_rows.
     X (transpose=True):  (n_tiles, band, tile) so out = work @ block.
+
+    Rows beyond n_dst (output padding, masked on store) are extrapolated
+    phase-affinely so that when the geometry is exactly affine, every
+    tile's block is identical and can be shared VMEM-resident.  Their taps
+    are dropped when they fall outside the band, which keeps band reads in
+    bounds; the affected outputs are never stored.
     """
     n, tile, band = t_ax.n_tiles, t_ax.tile, t_ax.band
+    r_s, r_d = _reduced(ax)
     shape = (n, band, tile) if transpose else (n, tile, band)
     blocks = np.zeros(shape, np.int64)
+
+    def row_for(d):
+        """(start, taps) for output d, extrapolating past n_dst."""
+        if d < ax.n_dst:
+            return int(ax.start[d]), [_unclipped_coef(ax, d, i)
+                                      for i in range(ax.num_coefs)]
+        p = d % max(1, ax.num_tables)
+        for dd in range(p, ax.n_dst, max(1, ax.num_tables)):
+            if ax.start[dd] >= 0 and ax.start[dd] + ax.num_coefs <= ax.n_src:
+                s = int(ax.start[dd]) + ((d - dd) // ax.num_tables) * \
+                    (ax.num_tables * r_s // r_d)
+                return s, [int(v) for v in ax.coef[dd]]
+        return None, None
+
     for t in range(n):
         off = base + t_ax.step * t
         for k in range(tile):
             d = t * tile + k
-            if d >= ax.n_dst:
-                break
-            s0 = int(ax.start[d]) + t_ax.pad_lo - off
+            s, taps = row_for(d)
+            if s is None:
+                continue
+            s0 = s + t_ax.pad_lo - off
             for i in range(ax.num_coefs):
                 j = s0 + i
                 if 0 <= j < band:
-                    v = _unclipped_coef(ax, d, i)
                     if transpose:
-                        blocks[t, j, k] += v
+                        blocks[t, j, k] += taps[i]
                     else:
-                        blocks[t, k, j] += v
+                        blocks[t, k, j] += taps[i]
     return blocks
 
 
@@ -277,6 +303,25 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
 
     cy_full = _build_blocks(y, ty_ax, y_base, False)
     cx_full = _build_blocks(x, tx_ax, x_base, True)
+
+    # When the tile->band mapping is exactly affine (integer, aligned step —
+    # true for all phase-periodic geometries with our tile choices), every
+    # tile's coefficient block is IDENTICAL: keep a single VMEM-resident
+    # block instead of streaming one per tile from HBM.  On this chip the
+    # per-tile X blocks would otherwise dominate HBM traffic (~60 MB/frame
+    # vs ~10 MB of actual pixels at ~87 GB/s effective bandwidth).
+    # sharing needs DMA-sliceable segments: bf16 tiling wants the minor dim
+    # 128-aligned (cy segments are (th, seg): seg is the lane dim) and the
+    # sublane dim 16-aligned
+    cy_shared = (bool((cy_full == cy_full[0:1]).all())
+                 and all(l % 128 == 0 for _o, l in row_segs))
+    cx_shared = (bool((cx_full == cx_full[0:1]).all())
+                 and all(l % 16 == 0 for _o, l in col_segs))
+    if cy_shared:
+        cy_full = cy_full[0:1]
+    if cx_shared:
+        cx_full = cx_full[0:1]
+
     cy_planes, cy_scale = _byte_planes(cy_full)
     cx_planes, cx_scale = _byte_planes(cx_full)
     n_cy, n_cx = len(cy_planes), len(cx_planes)
@@ -314,14 +359,40 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
     f32 = jnp.float32
     n_rs, n_cs = len(row_segs), len(col_segs)
     n_band = n_rs * n_cs if blocked else 1
+    n_cy_in = n_cy * (n_rs if blocked else 1)
+    n_cx_in = n_cx * (n_cs if blocked else 1)
 
     def kernel(*refs):
         band_refs = refs[:n_band]
-        cy_refs = refs[n_band:n_band + n_cy * (n_rs if blocked else 1)]
-        cx_refs = refs[n_band + len(cy_refs):
-                       n_band + len(cy_refs) + n_cx * (n_cs if blocked else 1)]
+        cy_in = refs[n_band:n_band + n_cy_in]
+        cx_in = refs[n_band + n_cy_in:n_band + n_cy_in + n_cx_in]
         dy_ref, by_ref, dx_ref, bx_ref, out_ref = \
-            refs[n_band + len(cy_refs) + len(cx_refs):]
+            refs[n_band + n_cy_in + n_cx_in:n_band + n_cy_in + n_cx_in + 5]
+        scratch = refs[n_band + n_cy_in + n_cx_in + 5:]
+
+        # shared coefficient blocks: stream from HBM ONCE into persistent
+        # VMEM scratch on the first grid step (the pipeline would otherwise
+        # re-fetch them every step — dominant HBM traffic on this chip)
+        n_sc_y = n_cy_in if cy_shared else 0
+        n_sc_x = n_cx_in if cx_shared else 0
+        if n_sc_y or n_sc_x:
+            sc_refs = scratch[:n_sc_y + n_sc_x]
+            sem = scratch[n_sc_y + n_sc_x]
+            first = sum(pl.program_id(k) for k in range(2)) == 0
+
+            @pl.when(first)
+            def _():
+                k = 0
+                for src, dst in (list(zip(cy_in, sc_refs[:n_sc_y])) if cy_shared else []) + \
+                                (list(zip(cx_in, sc_refs[n_sc_y:])) if cx_shared else []):
+                    cp = pltpu.make_async_copy(src.at[0], dst, sem.at[k])
+                    cp.start()
+                    cp.wait()
+                    k += 1
+            cy_refs = tuple(sc_refs[:n_sc_y]) if cy_shared else cy_in
+            cx_refs = tuple(sc_refs[n_sc_y:n_sc_y + n_sc_x]) if cx_shared else cx_in
+        else:
+            cy_refs, cx_refs = cy_in, cx_in
 
         def to_bf16(r):
             # u8 -> bf16 must route through i32 (no direct Mosaic cast)
@@ -400,16 +471,22 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
                         pl.multiple_of(x_base + gx(*g) * tx_ax.step, 128)),
             memory_space=pltpu.VMEM)]
 
-    n_cy_refs = n_cy * (n_rs if blocked else 1)
-    n_cx_refs = n_cx * (n_cs if blocked else 1)
+    def _cy_spec(i):
+        if cy_shared:
+            return pl.BlockSpec(memory_space=pltpu.ANY)
+        return pl.BlockSpec((None,) + cy_ops[i].shape[1:],
+                            lambda *g: (gy(*g), 0, 0), memory_space=pltpu.VMEM)
+
+    def _cx_spec(i):
+        if cx_shared:
+            return pl.BlockSpec(memory_space=pltpu.ANY)
+        return pl.BlockSpec((None,) + cx_ops[i].shape[1:],
+                            lambda *g: (gx(*g), 0, 0), memory_space=pltpu.VMEM)
+
     specs = [
         *band_specs,
-        *[pl.BlockSpec((None,) + cy_ops[i].shape[1:],
-                       lambda *g: (gy(*g), 0, 0), memory_space=pltpu.VMEM)
-          for i in range(n_cy_refs)],
-        *[pl.BlockSpec((None,) + cx_ops[i].shape[1:],
-                       lambda *g: (gx(*g), 0, 0), memory_space=pltpu.VMEM)
-          for i in range(n_cx_refs)],
+        *[_cy_spec(i) for i in range(n_cy_in)],
+        *[_cx_spec(i) for i in range(n_cx_in)],
         pl.BlockSpec((th, 1), lambda *g: (gy(*g), 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((th, 1), lambda *g: (gy(*g), 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tw), lambda *g: (0, gx(*g)), memory_space=pltpu.VMEM),
@@ -418,10 +495,22 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
     out_spec = pl.BlockSpec((th, tw), lambda *g: (gy(*g), gx(*g)),
                             memory_space=pltpu.VMEM)
 
+    scratch_shapes = []
+    if cy_shared or cx_shared:
+        if cy_shared:
+            scratch_shapes += [pltpu.VMEM(o.shape[1:], jnp.bfloat16)
+                               for o in cy_ops]
+        if cx_shared:
+            scratch_shapes += [pltpu.VMEM(o.shape[1:], jnp.bfloat16)
+                               for o in cx_ops]
+        n_copies = (n_cy_in if cy_shared else 0) + (n_cx_in if cx_shared else 0)
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((n_copies,)))
+
     call = pl.pallas_call(
         kernel, grid=grid,
         out_shape=jax.ShapeDtypeStruct((y.n_dst, x.n_dst), jnp.uint8),
         in_specs=specs, out_specs=out_spec, interpret=interpret,
+        scratch_shapes=scratch_shapes,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -33,7 +33,6 @@ linear       2**8     2**15    unsigned; borders replicate edge (folded)
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import numpy as np
 

@@ -20,6 +20,8 @@ TPU-native differences from the reference surface:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .core.plan import ResizePlan, build_plan
@@ -36,6 +38,31 @@ _BACKENDS = ("auto", "xla", "pallas", "numpy")
 # executables and device-resident tables are reused — the TPU analog of
 # construct-once semantics surviving the construct-per-cycle protocol.
 _COMPILED_CACHE: dict = {}
+
+
+_cache_configured = False
+
+
+def _configure_compilation_cache() -> None:
+    """Persist compiled executables across processes (kernel compiles can
+    take minutes through remote TPU compile services).  Opt out with
+    LIBIQO_TPU_NO_COMPILE_CACHE=1."""
+    global _cache_configured
+    if _cache_configured or os.environ.get("LIBIQO_TPU_NO_COMPILE_CACHE"):
+        _cache_configured = True
+        return
+    _cache_configured = True
+    import jax
+
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            d = os.path.join(os.path.expanduser("~"), ".cache",
+                             "libiqo_tpu", "jax_cache")
+            os.makedirs(d, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", d)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never fail construction over it
 
 
 def _default_backend() -> str:
@@ -86,6 +113,7 @@ class Resizer:
         if cached is not None:
             self._jitted, self._operands = cached
             return
+        _configure_compilation_cache()
         import jax
 
         fn = operands = None

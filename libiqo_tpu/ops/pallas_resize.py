@@ -213,14 +213,22 @@ _DMA_RATE = 6e11
 
 def _auto_tiles(plan: ResizePlan):
     """Pick (th, tw) minimizing a simple cost model: MXU flops (band
-    over-fetch scales X flops), per-grid-step overhead, and band DMA."""
+    over-fetch scales X flops), per-grid-step overhead, and band DMA.
+    Tile sizes whose band step is exactly affine (tile*src/dst an aligned
+    integer) get a discount: their coefficient blocks are identical across
+    tiles and become VMEM-resident (no per-tile streaming, no drift slack).
+    """
     y, x = plan.y, plan.x
+    r_sh, r_dh = _reduced(y)
+    r_sw, r_dw = _reduced(x)
     n_cy = 1 if (y.coef.min() >= 0 and y.coef.max() <= 255) else 2
     best, best_cost = None, float("inf")
-    for th in (128, 256):
+    for th in (96, 128, 192, 256):
         th_eff = min(-(-y.n_dst // 32) * 32, th)
         for tw in (128, 256, 384, 512):
             tw_eff = min(-(-x.n_dst // 128) * 128, tw)
+            y_affine = (th_eff * r_sh) % (r_dh * 32) == 0
+            x_affine = (tw_eff * r_sw) % (r_dw * 128) == 0
             ty, _ = _tile_axis(y, th_eff, 32)
             tx, _ = _tile_axis(x, tw_eff, 128)
             n_tiles = ty.n_tiles * tx.n_tiles
@@ -228,8 +236,10 @@ def _auto_tiles(plan: ResizePlan):
             cols_pad = tx.n_tiles * tw_eff
             flops = 2 * (rows_pad * tx.n_tiles * tx.band * ty.band * n_cy  # Y
                          + rows_pad * cols_pad * tx.band * 4)              # X
-            dma = n_tiles * (ty.band * tx.band             # u8 band
-                             + 2 * tx.band * tw_eff * 2)   # X blocks (bf16)
+            dma = n_tiles * (ty.band * tx.band)            # u8 band
+            # coefficient streaming: per-tile unless exactly affine
+            dma += (1 if x_affine else n_tiles) * 2 * tx.band * tw_eff * 2
+            dma += (1 if y_affine else n_tiles) * n_cy * th_eff * ty.band * 2
             cost = flops / _MXU_RATE + n_tiles * _STEP_OVERHEAD + dma / _DMA_RATE
             # VMEM feasibility
             est = (ty.band * tx.band + 4 * th_eff * tx.band

@@ -249,6 +249,13 @@ def _axis_linear(src_len: int, dst_len: int, bias_bit: int) -> AxisPlan:
     start[hi] = src_len - 1
 
     coef, deno = _clip_oob(coef.astype(np.int32), start, src_len)
+    # Rows whose window was clamped away from the reference's OOB read (UB
+    # there, so the behavior is ours to define): replicate the nearest
+    # in-range pixel instead of leaving an underweighted window.
+    if reference_oob:
+        short = deno != bias
+        coef[short] = [bias, 0]
+        deno[short] = bias
     return AxisPlan(src_len, dst_len, 2, r_dst, coef, start, deno,
                     np.zeros(dst_len, dtype=bool), bias_bit,
                     main_begin=main_begin, main_end=main_end,

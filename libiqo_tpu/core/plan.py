@@ -159,6 +159,13 @@ def _axis_lanczos(degree: int, src_len: int, dst_len: int, px_scale: int,
     # (ref: :401,480)
     start = (it * src_len) // dst_len + 1 - n_on2
     coef, deno = _clip_oob(coef, start, src_len)
+    if is_vertical:
+        # The reference's Y-border denominator accumulates in int16_t and
+        # wraps for pathological px_scale phases whose in-range |tap| sums
+        # exceed 32767 (ref: src/IQOLanczosResizerImpl_Generic.cpp:482-483:
+        # ``deno[dstX] = int16_t(deno[dstX] + coef)``).  The X-border deno
+        # is int32 (ref: :560-570) and needs no wrap.
+        deno = (((deno.astype(np.int64) + 32768) & 65535) - 32768).astype(np.int32)
 
     is_border = (d < main_begin) | (d >= main_end)
     return AxisPlan(src_len, dst_len, num_coefs, r_dst, coef, start,
@@ -228,9 +235,13 @@ def _axis_linear(src_len: int, dst_len: int, bias_bit: int) -> AxisPlan:
 
     # border outputs: mainBegin==1 for every geometry (convertCoordinate is
     # called with toLen=0 so it always yields ceil(0.5)==1,
-    # ref: :236-238,339-341); mainEnd = dst_len - 1.
+    # ref: :236-238,339-341); mainEnd = dst_len - 1.  When dst_len == 1 the
+    # reference's border loops overlap (mainBegin=1 > mainEnd=0) and the
+    # hi-border loop runs second, rewriting output 0 with the LAST source
+    # pixel (ref: :274-281,343-345) — so main_end may drop below main_begin
+    # and the hi assignment below must come after the lo assignment.
     main_begin = min(1, dst_len)
-    main_end = max(main_begin, dst_len - main_begin)
+    main_end = max(0, dst_len - main_begin)
     # clamp OOB windows (reference UB: >3x upscales put srcO at -1, and the
     # setX seeding quirk can push srcO past src_len-2 on strong gcd=1
     # downscales) into range; must precede the border assignments, whose

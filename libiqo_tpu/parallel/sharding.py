@@ -65,6 +65,14 @@ def _row_shard_layout(plan: ResizePlan, n: int):
                    for d in range(n)])
     halo_up = int(np.max(np.maximum(0, np.arange(n) * hs - lo)))
     halo_dn = int(np.max(np.maximum(0, hi - (np.arange(n) + 1) * hs)))
+    if halo_up > hs or halo_dn > hs:
+        # the single-hop ppermute below only reaches the immediate neighbor;
+        # a halo taller than one shard would silently under-fetch and fail
+        # with an opaque shape error at trace time
+        raise ValueError(
+            f"row-sharding halo ({halo_up} up / {halo_dn} down source rows) "
+            f"exceeds the per-device shard height {hs}; use fewer devices "
+            f"or a taller image (tap windows must fit a neighbor shard)")
     # per-device Cy block over the (halo_up + hs + halo_dn) band
     band = halo_up + hs + halo_dn
     cy_full = plan.y.dense(np.int64)

@@ -78,36 +78,61 @@ class YUV420Resizer:
 
     def __init__(self, method: str, src_w: int, src_h: int,
                  dst_w: int, dst_h: int, backend: str = "auto"):
+        # The reference sample resizes the Y plane at its TRUE (possibly
+        # odd) dimensions and evens only the buffer strides; chroma
+        # resizers are constructed from the evened strides (stX/2, not
+        # srcW/2), so the padding column/row is chroma *data*
+        # (ref: sample/resize_yuv420p.cpp:66-69,125-131,153-159).
         sw, sh = _even(src_w), _even(src_h)
         dw, dh = _even(dst_w), _even(dst_h)
-        self.src_size = (sw, sh)
+        self.src_size = (sw, sh)        # strides (file layout)
         self.dst_size = (dw, dh)
+        self._true_src = (src_w, src_h)
+        self._true_dst = (dst_w, dst_h)
         self.method = method
         if method.startswith("lanczos"):
             degree = int(method[len("lanczos"):] or 3)
             # chroma planes use px_scale=2 (ref: sample/resize_yuv420p.cpp:159)
-            self._luma: Resizer = LanczosResizer(degree, sw, sh, dw, dh,
-                                                 backend=backend)
+            self._luma: Resizer = LanczosResizer(degree, src_w, src_h,
+                                                 dst_w, dst_h, backend=backend)
             self._chroma: Resizer = LanczosResizer(
                 degree, sw // 2, sh // 2, dw // 2, dh // 2, px_scale=2,
                 backend=backend)
         elif method == "area":
-            self._luma = AreaResizer(sw, sh, dw, dh, backend=backend)
+            self._luma = AreaResizer(src_w, src_h, dst_w, dst_h, backend=backend)
             self._chroma = AreaResizer(sw // 2, sh // 2, dw // 2, dh // 2,
                                        backend=backend)
         elif method == "linear":
-            self._luma = LinearResizer(sw, sh, dw, dh, backend=backend)
+            self._luma = LinearResizer(src_w, src_h, dst_w, dst_h,
+                                       backend=backend)
             self._chroma = LinearResizer(sw // 2, sh // 2, dw // 2, dh // 2,
                                          backend=backend)
         else:
             raise ValueError(f"unknown method {method!r} "
                              "(linear | area | lanczos[1-9])")
 
+    def _slice_y(self, y):
+        w, h = self._true_src
+        return y[..., :h, :w]
+
+    def _pad_y(self, oy):
+        """Place the true-dim luma result into the evened-stride layout;
+        the padding column/row stays zero, matching the reference's
+        zero-initialized output buffer (sample/resize_yuv420p.cpp:88)."""
+        w, h = self._true_dst
+        dw, dh = self.dst_size
+        if (w, h) == (dw, dh):
+            return oy
+        out = np.zeros(oy.shape[:-2] + (dh, dw), np.uint8)
+        out[..., :h, :w] = np.asarray(oy)
+        return out
+
     def resize(self, frame: YUV420Frame) -> YUV420Frame:
         # U and V share a plan: one batched executable call for both
         uv = np.stack([frame.u, frame.v])
         ouv = self._chroma.resize(uv)
-        return YUV420Frame(y=self._luma.resize(frame.y), u=ouv[0], v=ouv[1])
+        oy = self._pad_y(self._luma.resize(self._slice_y(frame.y)))
+        return YUV420Frame(y=oy, u=ouv[0], v=ouv[1])
 
     def resize_batch(self, y, u, v):
         """Batched planes (B, h, w)/(B, h/2, w/2) -> resized batch tuple.
@@ -117,4 +142,5 @@ class YUV420Resizer:
         cat = np.concatenate if isinstance(u, np.ndarray) else jnp.concatenate
         ouv = self._chroma.resize(cat([u, v]))
         b = u.shape[0]
-        return self._luma.resize(y), ouv[:b], ouv[b:]
+        oy = self._pad_y(self._luma.resize(self._slice_y(y)))
+        return oy, ouv[:b], ouv[b:]

@@ -27,7 +27,8 @@ import numpy as np
 from .core.plan import ResizePlan, build_plan
 from .golden import numpy_ref
 
-__all__ = ["Resizer", "LanczosResizer", "AreaResizer", "LinearResizer"]
+__all__ = ["Resizer", "LanczosResizer", "AreaResizer", "LinearResizer",
+           "clear_compiled_cache"]
 
 _BACKENDS = ("auto", "xla", "pallas", "numpy")
 
@@ -37,7 +38,33 @@ _BACKENDS = ("auto", "xla", "pallas", "numpy")
 # construction costs only the (native, ~ms) table build while compiled
 # executables and device-resident tables are reused — the TPU analog of
 # construct-once semantics surviving the construct-per-cycle protocol.
+# LRU-bounded: each entry pins device-resident coefficient tables (KBs to a
+# few MB of HBM), so a long-lived server resizing many geometries must not
+# grow without bound (the reference frees per-resizer state on destruction).
+_COMPILED_CACHE_MAX = int(os.environ.get("LIBIQO_TPU_CACHE_SIZE", "256"))
 _COMPILED_CACHE: dict = {}
+
+
+def clear_compiled_cache() -> None:
+    """Drop all cached executables and their device-resident tables."""
+    _COMPILED_CACHE.clear()
+
+
+def _cache_put(key, value) -> None:
+    if key in _COMPILED_CACHE:
+        del _COMPILED_CACHE[key]          # refresh LRU position
+    elif len(_COMPILED_CACHE) >= _COMPILED_CACHE_MAX:
+        oldest = next(iter(_COMPILED_CACHE))
+        del _COMPILED_CACHE[oldest]
+    _COMPILED_CACHE[key] = value
+
+
+def _cache_get(key):
+    value = _COMPILED_CACHE.get(key)
+    if value is not None:
+        del _COMPILED_CACHE[key]          # move to the back (most recent)
+        _COMPILED_CACHE[key] = value
+    return value
 
 
 _cache_configured = False
@@ -109,7 +136,7 @@ class Resizer:
         if self._jitted is not None:
             return
         key = (self._plan.cache_key(), backend)
-        cached = _COMPILED_CACHE.get(key)
+        cached = _cache_get(key)
         if cached is not None:
             self._jitted, self._operands = cached
             return
@@ -134,7 +161,7 @@ class Resizer:
             fn, operands = xla_resize.make_resize_fn(self._plan)
         self._operands = tuple(jax.device_put(o) for o in operands)
         self._jitted = jax.jit(fn)
-        _COMPILED_CACHE[key] = (self._jitted, self._operands)
+        _cache_put(key, (self._jitted, self._operands))
 
     def resize(self, src):
         """Resize (src_h, src_w) or (..., src_h, src_w) u8 -> u8.

@@ -50,7 +50,12 @@ _BF16_MAX_COEFS = 258         # num_coefs * 255 * 255 < 2**24
 def _axis_mode(ax: AxisPlan) -> str:
     if int(np.abs(ax.coef.astype(np.int64)).sum(axis=1).max()) > _F32_EXACT_COEF_SUM:
         return "int"
-    if ax.num_coefs <= _BF16_MAX_COEFS:
+    # bf16 byte planes only where bf16 is native silicon: XLA:CPU's
+    # emulated bf16 matmul writes past odd-width buffers (heap corruption,
+    # reproduced on jax 0.9 — see tests/test_pallas_internals.py's LRU test
+    # which first exposed it); CPU f32 dots are true f32 and exact for all
+    # our bounds anyway.
+    if ax.num_coefs <= _BF16_MAX_COEFS and jax.default_backend() == "tpu":
         return "bf16"
     return "f32"
 

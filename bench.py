@@ -36,7 +36,10 @@ def main() -> None:
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     batch = 16 if on_tpu else 1
-    inner = 12 if on_tpu else 2
+    # the single host sync costs ~31 ms through the axon tunnel (measured,
+    # scripts/perf_probe.py); 64 in-jit iterations x 16 frames amortize it
+    # to ~0.03 ms/frame so the reported number is kernel throughput
+    inner = 64 if on_tpu else 2
     reps = 3 if on_tpu else 1
 
     r = YUV420Resizer("lanczos3", SRC_W, SRC_H, DST_W, DST_H,

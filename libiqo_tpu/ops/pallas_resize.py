@@ -37,6 +37,22 @@ source band are small dense blocks, so both passes run on the MXU:
 
 Geometries whose bands would blow VMEM, or whose tap sums exceed the bf16
 exactness bounds, fall back to ops.xla_resize (see :func:`supports_plan`).
+
+Two kernel modes share the math above:
+
+* **padless** (default): band windows are Element-mode slices of the raw,
+  unpadded source — offsets ``max(0, min(hi, base + t*step))``, clamped
+  fully in bounds on both sides (see :func:`_tile_axis_padless` for the
+  measured Mosaic rules that force this).  Edge tiles whose clamped window
+  is shifted relative to the affine ideal get their own coefficient-block
+  *variant*; the few variants sit VMEM-resident and each grid step selects
+  its variant by a dynamic leading index.  This avoids materializing a
+  padded copy of every frame (~2 full-frame HBM round trips that dominated
+  the padded mode's runtime on bandwidth-limited chips).
+* **padded** (legacy, ``mode="padded"`` or LIBIQO_TPU_PADDED=1): jnp.pad
+  the source so every affine window is in range, with blocked main+halo
+  window decomposition.  Kept as the fallback for geometries the padless
+  builder rejects and for A/B measurement.
 """
 
 from __future__ import annotations
@@ -281,11 +297,10 @@ def supports_plan(plan: ResizePlan, th_target: int = 0,
     return _plan_ok(plan, th_target, tw_target)
 
 
-def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
-                   th_target: int = 0, tw_target: int = 0,
-                   grid_order: str = "xy"):
-    """Build (fn, host_operands): fn(*operands, src) jittable over
-    (..., src_h, src_w) u8 arrays (same contract as xla_resize).
+def _make_padded_fn(plan: ResizePlan, *, interpret: bool = False,
+                    th_target: int = 0, tw_target: int = 0,
+                    grid_order: str = "xy"):
+    """Legacy padded-mode builder (see module docstring).
 
     ``grid_order="xy"`` iterates column tiles in the outer grid dimension so
     the X coefficient blocks stay VMEM-resident across the row sweep.
@@ -367,6 +382,10 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
     border_x[0, : x.n_dst] = x.is_border.astype(np.int32)
 
     f32 = jnp.float32
+    # dot operand dtype: bf16 on real TPU silicon; f32 under interpret
+    # (XLA:CPU's emulated bf16 matmul corrupts the heap on odd-width
+    # operands; CPU f32 dots are exact for all our 8-bit operand bounds)
+    dot_dt = jnp.float32 if interpret else jnp.bfloat16
     n_rs, n_cs = len(row_segs), len(col_segs)
     n_band = n_rs * n_cs if blocked else 1
     n_cy_in = n_cy * (n_rs if blocked else 1)
@@ -406,7 +425,7 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
 
         def to_bf16(r):
             # u8 -> bf16 must route through i32 (no direct Mosaic cast)
-            return r[...].astype(jnp.int32).astype(jnp.bfloat16)
+            return r[...].astype(jnp.int32).astype(dot_dt)
 
         # ---- Y pass per column segment: work = sum_r Cy_r @ band_(r,c) --
         w_segs = []
@@ -416,7 +435,7 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
                 for r in range(n_rs if blocked else 1):
                     cref = cy_refs[p * (n_rs if blocked else 1) + r]
                     bref = band_refs[r * n_cs + c] if blocked else band_refs[0]
-                    d = jnp.dot(cref[...], to_bf16(bref),
+                    d = jnp.dot(cref[...].astype(dot_dt), to_bf16(bref),
                                 preferred_element_type=f32).astype(jnp.int32)
                     d = d * cy_scale[p]
                     nume = d if nume is None else nume + d
@@ -434,11 +453,11 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
         # ---- X pass: sums = sum_c work_c @ Cx_c (byte-plane split) ------
         sums = None
         for c, w in enumerate(w_segs):
-            w_lo = (w & 255).astype(jnp.bfloat16)
-            w_hi = (w >> 8).astype(jnp.bfloat16)
+            w_lo = (w & 255).astype(dot_dt)
+            w_hi = (w >> 8).astype(dot_dt)
             for p in range(n_cx):
                 cref = cx_refs[p * (n_cs if blocked else 1) + c]
-                cc = cref[...]
+                cc = cref[...].astype(dot_dt)
                 hi = jnp.dot(w_hi, cc, preferred_element_type=f32).astype(jnp.int32)
                 lo = jnp.dot(w_lo, cc, preferred_element_type=f32).astype(jnp.int32)
                 part = (hi * 256 + lo) * cx_scale[p]
@@ -483,13 +502,13 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
 
     def _cy_spec(i):
         if cy_shared:
-            return pl.BlockSpec(memory_space=pltpu.ANY)
+            return pl.BlockSpec(memory_space=pl.ANY)
         return pl.BlockSpec((None,) + cy_ops[i].shape[1:],
                             lambda *g: (gy(*g), 0, 0), memory_space=pltpu.VMEM)
 
     def _cx_spec(i):
         if cx_shared:
-            return pl.BlockSpec(memory_space=pltpu.ANY)
+            return pl.BlockSpec(memory_space=pl.ANY)
         return pl.BlockSpec((None,) + cx_ops[i].shape[1:],
                             lambda *g: (gx(*g), 0, 0), memory_space=pltpu.VMEM)
 
@@ -544,3 +563,444 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
 
     operands = (*cy_ops, *cx_ops, deno_y, border_y, deno_x, border_x)
     return fn, operands
+
+
+# ---------------------------------------------------------------------------
+# Padless mode: Element windows over the raw source + coefficient variants
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class _PAxis:
+    """Padless tiling of one axis.
+
+    Window of tile t is ``[off[t], off[t] + band)`` over the *unpadded*
+    source, with ``off[t] = max(0, base + t*step)`` — aligned by
+    construction (base, step, 0 are all align-multiples).  The high side may
+    exceed n_src; those positions are garbage in VMEM and every stored
+    output's taps there are zero (the plan ships clipped taps,
+    ref: src/IQOLanczosResizerImpl_Generic.cpp:563-570 drops them).
+    """
+    tile: int
+    n_tiles: int
+    step: int
+    base: int                # may be negative (first windows clamp to 0)
+    band: int
+    off: np.ndarray          # (n_tiles,) actual window offsets, >= 0
+    clamp_hi: int = -1       # >= 0: off = max(0, min(clamp_hi, base+t*step))
+    #                          (lane axis in-bounds clamp); -1: max only
+
+
+def _tile_axis_padless(ax: AxisPlan, tile: int, align: int) -> _PAxis:
+    """Window layout for one axis.
+
+    Mosaic constraints this encodes (measured on this chip):
+
+    * window offsets must be provable ``align``-multiples — ``max``/``min``
+      of aligned values stays aligned;
+    * windows must never read out of bounds: OOB lane windows crash
+      compiled kernels (and silently shift in interpret mode); OOB sublane
+      windows crash once the overshoot grows past a few tiles (measured:
+      16 rows tolerated, 104 rows -> TPU INTERNAL error) — so both axes are
+      clamped fully in range;
+    * window lengths must be divisible by the block divisor (8 sublane /
+      128 lane) or equal the full array dim.  In-bounds clamping needs the
+      uncovered tail ``n_src - band`` to stay an offset-align multiple, so
+      we pick ``band ≡ n_src (mod align)``; when that band can't satisfy
+      the length divisor (n_src % 8 != 0 sublane / n_src % 128 != 0 lane),
+      one full-length window is the fallback.
+    """
+    n_tiles = -(-ax.n_dst // tile)
+    start = ax.start.astype(np.int64)
+    n_src = ax.n_src
+    # in-range source span per output, then per tile
+    lo_d = np.clip(start, 0, n_src)
+    hi_d = np.clip(start + ax.num_coefs, 0, n_src)
+    lo = np.empty(n_tiles, np.int64)
+    hi = np.empty(n_tiles, np.int64)
+    for t in range(n_tiles):
+        d0, d1 = t * tile, min((t + 1) * tile, ax.n_dst)
+        lo[t] = lo_d[d0:d1].min()
+        hi[t] = max(hi_d[d0:d1].max(), lo[t])
+    step = max(align, (tile * n_src // max(1, ax.n_dst)) // align * align)
+    ts = step * np.arange(n_tiles)
+    base = int(np.floor_divide((lo - ts).min(), align)) * align
+
+    len_div = 8 if align == 32 else 128
+    r = n_src % align
+    if r % len_div == 0:
+        def fit(need):
+            # smallest band >= need with band ≡ n_src (mod align); such a
+            # band is automatically a len_div multiple since r is
+            b = -(-max(need - r, 0) // align) * align + r
+            return max(b, len_div)
+
+        band = fit(int((hi - np.maximum(0, base + ts)).max()))
+        # clamping edge windows into range can raise the coverage need;
+        # the monotone iteration converges or degrades to one full window
+        while band < n_src:
+            hi_bound = n_src - band          # align-multiple by construction
+            off = np.minimum(np.maximum(0, base + ts), hi_bound)
+            need = fit(int((hi - off).max()))
+            if need <= band:
+                return _PAxis(tile, n_tiles, step, base, band, off,
+                              clamp_hi=hi_bound)
+            band = need
+    # full-length window (offsets all 0): always in bounds; length == n_src
+    # satisfies the "equal to the array dim" escape of the divisibility rule
+    return _PAxis(tile, n_tiles, step, base, n_src,
+                  np.zeros(n_tiles, np.int64), clamp_hi=0)
+
+
+def _build_blocks_padless(ax: AxisPlan, p: _PAxis, transpose: bool) -> np.ndarray:
+    """Per-tile dense coefficient blocks over the clamped windows.
+
+    Taps stay clipped exactly as the plan stores them (OOB source => 0 ==
+    the reference dropping them at runtime).  Output rows past n_dst (tile
+    padding, masked on store) are all-zero.
+    """
+    n, tile, band = p.n_tiles, p.tile, p.band
+    shape = (n, band, tile) if transpose else (n, tile, band)
+    blocks = np.zeros(shape, np.int64)
+    for t in range(n):
+        off = int(p.off[t])
+        d1 = min((t + 1) * tile, ax.n_dst)
+        for k in range(d1 - t * tile):
+            d = t * tile + k
+            s0 = int(ax.start[d]) - off
+            for i in range(ax.num_coefs):
+                c = int(ax.coef[d, i])
+                if c == 0:
+                    continue
+                j = s0 + i
+                if not 0 <= j < band:
+                    raise AssertionError(
+                        f"padless window misses tap: tile {t} d {d} j {j} "
+                        f"band {band}")
+                if transpose:
+                    blocks[t, j, k] += c
+                else:
+                    blocks[t, k, j] += c
+    return blocks
+
+
+@dataclasses.dataclass(frozen=True)
+class _Variants:
+    uniq: np.ndarray          # (n_var, A, B) deduped blocks
+    interior: int             # most common variant id
+    exceptions: tuple         # ((tile, variant), ...) where != interior
+
+
+def _dedup_blocks(blocks: np.ndarray) -> _Variants:
+    uniq, inv = np.unique(blocks, axis=0, return_inverse=True)
+    inv = inv.ravel()
+    interior = int(np.bincount(inv).argmax())
+    exceptions = tuple((int(t), int(v)) for t, v in enumerate(inv)
+                       if v != interior)
+    return _Variants(uniq, interior, exceptions)
+
+
+_MAX_RESIDENT_VARS = 4
+_MAX_EXCEPTIONS = 8
+
+
+def _padless_vmem(th, tw, band_h, band_w, n_cy, n_cx,
+                  y_res, x_res, n_var_y, n_var_x) -> int:
+    est = (2 * band_h * band_w          # u8 band, double buffered
+           + 2 * th * tw                # u8 out, double buffered
+           + 4 * th * band_w * 3        # i32 work + bf16 byte splits
+           + 4 * th * tw * 4)           # f32 dot temps
+    est += n_cy * 2 * th * band_h * (n_var_y if y_res else 2)
+    est += n_cx * 2 * band_w * tw * (n_var_x if x_res else 2)
+    return est
+
+
+def _auto_tiles_padless(plan: ResizePlan):
+    """Tile choice for the padless kernel: minimize max(MXU, DMA) time with
+    exact-coverage and phase-affinity preferences (affine tiles collapse to
+    ~3 resident variants; others stream per-tile blocks)."""
+    y, x = plan.y, plan.x
+    r_sh, r_dh = _reduced(y)
+    r_sw, r_dw = _reduced(x)
+    n_cy = 1 if (y.coef.min() >= 0 and y.coef.max() <= 255) else 2
+    best, best_cost = None, float("inf")
+    for th in (96, 128, 160, 192, 224, 256):
+        th_eff = min(-(-y.n_dst // 32) * 32, th)
+        for tw in (256, 384, 512):
+            tw_eff = min(-(-x.n_dst // 128) * 128, tw)
+            py = _tile_axis_padless(y, th_eff, 32)
+            px = _tile_axis_padless(x, tw_eff, 128)
+            y_aff = (th_eff * r_sh) % (r_dh * 32) == 0
+            x_aff = (tw_eff * r_sw) % (r_dw * 128) == 0
+            nvy = 3 if y_aff else py.n_tiles
+            nvx = 3 if x_aff else px.n_tiles
+            y_res = y_aff or nvy <= _MAX_RESIDENT_VARS
+            x_res = x_aff or nvx <= _MAX_RESIDENT_VARS
+            n_tiles = py.n_tiles * px.n_tiles
+            rows_pad = py.n_tiles * th_eff
+            cols_pad = px.n_tiles * tw_eff
+            flops = 2 * (rows_pad * px.n_tiles * px.band * py.band * n_cy
+                         + rows_pad * cols_pad * px.band * 4)
+            dma = n_tiles * py.band * px.band + rows_pad * cols_pad
+            dma += (min(nvx, px.n_tiles) if x_res else n_tiles) \
+                * 2 * px.band * tw_eff * 2
+            dma += (min(nvy, py.n_tiles) if y_res else n_tiles) \
+                * n_cy * th_eff * py.band * 2
+            est = _padless_vmem(th_eff, tw_eff, py.band, px.band,
+                                n_cy, 2, y_res, x_res, nvy, nvx)
+            if est > _VMEM_TILE_BUDGET:
+                continue
+            cost = max(flops / _MXU_RATE, dma / _DMA_RATE) \
+                + n_tiles * _STEP_OVERHEAD
+            if cost < best_cost:
+                best, best_cost = (th_eff, tw_eff), cost
+    return best
+
+
+def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
+                     th_target: int = 0, tw_target: int = 0,
+                     grid_order: str = "xy"):
+    """Padless-mode builder (see module docstring).  Returns None when the
+    geometry doesn't fit this mode's VMEM envelope (caller falls back)."""
+    y, x = plan.y, plan.x
+    if th_target and tw_target:
+        th = min(-(-y.n_dst // 32) * 32, -(-th_target // 32) * 32)
+        tw = min(-(-x.n_dst // 128) * 128, -(-tw_target // 128) * 128)
+    else:
+        picked = _auto_tiles_padless(plan)
+        if picked is None:
+            return None
+        th, tw = picked
+    py = _tile_axis_padless(y, th, 32)
+    px = _tile_axis_padless(x, tw, 128)
+    n_ty, n_tx = py.n_tiles, px.n_tiles
+    band_h, band_w = py.band, px.band
+
+    vy = _dedup_blocks(_build_blocks_padless(y, py, transpose=False))
+    vx = _dedup_blocks(_build_blocks_padless(x, px, transpose=True))
+    y_res = (len(vy.uniq) <= _MAX_RESIDENT_VARS
+             and len(vy.exceptions) <= _MAX_EXCEPTIONS)
+    x_res = (len(vx.uniq) <= _MAX_RESIDENT_VARS
+             and len(vx.exceptions) <= _MAX_EXCEPTIONS)
+
+    cy_src = vy.uniq if y_res else _build_blocks_padless(y, py, False)
+    cx_src = vx.uniq if x_res else _build_blocks_padless(x, px, True)
+    cy_planes, cy_scale = _byte_planes(cy_src)
+    cx_planes, cx_scale = _byte_planes(cx_src)
+    n_cy, n_cx = len(cy_planes), len(cx_planes)
+    if _padless_vmem(th, tw, band_h, band_w, n_cy, n_cx, y_res, x_res,
+                     len(vy.uniq), len(vx.uniq)) > _VMEM_TILE_BUDGET:
+        return None
+
+    cy_ops = [np.asarray(p) for p in cy_planes]
+    cx_ops = [np.asarray(p) for p in cx_planes]
+
+    wrap16 = plan.wrap16
+    y_bias = y.bias
+    out_shift = plan.out_shift
+    half = 1 << (out_shift - 1)
+    y_has_border = bool(y.is_border.any())
+    x_has_border = bool(x.is_border.any())
+
+    n_rows_pad = n_ty * th
+    deno_y = np.ones((n_rows_pad, 1), np.int32)
+    deno_y[: y.n_dst, 0] = np.where(y.deno == 0, 1, y.deno)
+    border_y = np.zeros((n_rows_pad, 1), np.int32)
+    border_y[: y.n_dst, 0] = y.is_border.astype(np.int32)
+    n_cols_pad = n_tx * tw
+    deno_x = np.ones((1, n_cols_pad), np.int32)
+    deno_x[0, : x.n_dst] = np.where(x.deno == 0, 1, x.deno)
+    border_x = np.zeros((1, n_cols_pad), np.int32)
+    border_x[0, : x.n_dst] = x.is_border.astype(np.int32)
+
+    f32 = jnp.float32
+    # dot operand dtype: bf16 on real TPU silicon; f32 under interpret
+    # (XLA:CPU's emulated bf16 matmul corrupts the heap on odd-width
+    # operands; CPU f32 dots are exact for all our 8-bit operand bounds)
+    dot_dt = jnp.float32 if interpret else jnp.bfloat16
+    n_sc = (n_cy if y_res else 0) + (n_cx if x_res else 0)
+    y_exc, x_exc = vy.exceptions, vx.exceptions
+    y_int, x_int = vy.interior, vx.interior
+
+    if grid_order == "xy":
+        grid = (n_tx, n_ty)
+        g_y, g_x = 1, 0       # program_id dims for the row / col tile index
+    else:
+        grid = (n_ty, n_tx)
+        g_y, g_x = 0, 1
+
+    def kernel(*refs):
+        band_ref = refs[0]
+        cy_in = refs[1:1 + n_cy]
+        cx_in = refs[1 + n_cy:1 + n_cy + n_cx]
+        dy_ref, by_ref, dx_ref, bx_ref, out_ref = \
+            refs[1 + n_cy + n_cx:1 + n_cy + n_cx + 5]
+        scratch = refs[1 + n_cy + n_cx + 5:]
+
+        if n_sc:
+            sem = scratch[n_sc]
+            first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+            @pl.when(first)
+            def _():
+                srcs = (tuple(cy_in) if y_res else ()) + \
+                       (tuple(cx_in) if x_res else ())
+                for k, (s, d) in enumerate(zip(srcs, scratch[:n_sc])):
+                    cp = pltpu.make_async_copy(s, d, sem.at[k])
+                    cp.start()
+                    cp.wait()
+
+        def variant(idx_dim, interior, exceptions):
+            v = jnp.int32(interior)
+            t = pl.program_id(idx_dim)
+            for tt, vv in exceptions:
+                v = jnp.where(t == tt, jnp.int32(vv), v)
+            return v
+
+        band_bf = band_ref[...].astype(jnp.int32).astype(dot_dt)
+
+        # ---- Y pass: work = sum_p Cy_p @ band ---------------------------
+        if y_res:
+            vy_i = variant(g_y, y_int, y_exc)
+            cy_vals = [scratch[p][vy_i] for p in range(n_cy)]
+        else:
+            cy_vals = [r[...] for r in cy_in]
+        nume = None
+        for p in range(n_cy):
+            d = jnp.dot(cy_vals[p].astype(dot_dt), band_bf,
+                        preferred_element_type=f32).astype(jnp.int32)
+            d = d * cy_scale[p]
+            nume = d if nume is None else nume + d
+        if wrap16:
+            w = ((nume + 32768) & 65535) - 32768
+            if y_has_border:
+                bval = jax.lax.div(w * y_bias,
+                                   jnp.broadcast_to(dy_ref[...], w.shape))
+                bval = ((bval + 32768) & 65535) - 32768
+                w = jnp.where(by_ref[...] > 0, bval, w)
+        else:
+            w = nume
+
+        # ---- X pass: sums = sum_p (hi*256 + lo) @ Cx_p ------------------
+        if x_res:
+            vx_i = variant(g_x, x_int, x_exc)
+            cx_vals = [scratch[n_cy * int(y_res) + p][vx_i]
+                       for p in range(n_cx)]
+        else:
+            cx_vals = [r[...] for r in cx_in]
+        w_lo = (w & 255).astype(dot_dt)
+        w_hi = (w >> 8).astype(dot_dt)
+        sums = None
+        for p in range(n_cx):
+            cc = cx_vals[p].astype(dot_dt)
+            hi = jnp.dot(w_hi, cc, preferred_element_type=f32).astype(jnp.int32)
+            lo = jnp.dot(w_lo, cc, preferred_element_type=f32).astype(jnp.int32)
+            part = (hi * 256 + lo) * cx_scale[p]
+            sums = part if sums is None else sums + part
+
+        # ---- rounding epilogue ------------------------------------------
+        main = (sums + half) >> out_shift
+        if x_has_border:
+            bval = jax.lax.div(sums + half,
+                               jnp.broadcast_to(dx_ref[...] * y_bias, sums.shape))
+            v = jnp.where(bx_ref[...] > 0, bval, main)
+        else:
+            v = main
+        v = ((v + 32768) & 65535) - 32768
+        out_ref[...] = jnp.clip(v, 0, 255).astype(jnp.uint8)
+
+    E = pallas_core.Element
+    y_base, y_step = py.base, py.step
+    x_base, x_step = px.base, px.step
+
+    def band_map(*g):
+        # must mirror _tile_axis_padless's host-side off[] exactly
+        oy = y_base + g[g_y] * y_step
+        if py.clamp_hi >= 0:
+            oy = jnp.minimum(py.clamp_hi, oy)
+        oy = jnp.maximum(0, oy)
+        ox = x_base + g[g_x] * x_step
+        if px.clamp_hi >= 0:
+            ox = jnp.minimum(px.clamp_hi, ox)
+        ox = jnp.maximum(0, ox)
+        return (pl.multiple_of(oy, 32), pl.multiple_of(ox, 128))
+
+    def _coef_spec(res, ops, i, idx_dim):
+        if res:
+            return pl.BlockSpec(memory_space=pl.ANY)
+        return pl.BlockSpec((None,) + ops[i].shape[1:],
+                            lambda *g, _d=idx_dim: (g[_d], 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    specs = [
+        pl.BlockSpec((E(band_h), E(band_w)), band_map,
+                     memory_space=pltpu.VMEM),
+        *[_coef_spec(y_res, cy_ops, i, g_y) for i in range(n_cy)],
+        *[_coef_spec(x_res, cx_ops, i, g_x) for i in range(n_cx)],
+        pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((th, tw), lambda *g: (g[g_y], g[g_x]),
+                            memory_space=pltpu.VMEM)
+
+    scratch_shapes = []
+    if n_sc:
+        if y_res:
+            scratch_shapes += [pltpu.VMEM(o.shape, jnp.bfloat16)
+                               for o in cy_ops]
+        if x_res:
+            scratch_shapes += [pltpu.VMEM(o.shape, jnp.bfloat16)
+                               for o in cx_ops]
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((n_sc,)))
+
+    call = pl.pallas_call(
+        kernel, grid=grid,
+        out_shape=jax.ShapeDtypeStruct((y.n_dst, x.n_dst), jnp.uint8),
+        in_specs=specs, out_specs=out_spec, interpret=interpret,
+        scratch_shapes=scratch_shapes,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+    def fn(*args):
+        *ops, src = args
+        if src.ndim == 2:
+            return call(src, *ops)
+        batch_shape = src.shape[:-2]
+        flat = src.reshape((-1,) + src.shape[-2:])
+        out = jax.vmap(lambda im: call(im, *ops))(flat)
+        return out.reshape(batch_shape + out.shape[-2:])
+
+    operands = (*cy_ops, *cx_ops, deno_y, border_y, deno_x, border_x)
+    return fn, operands
+
+
+def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
+                   th_target: int = 0, tw_target: int = 0,
+                   grid_order: str = "xy", mode: str = "auto"):
+    """Build (fn, host_operands): fn(*operands, src) jittable over
+    (..., src_h, src_w) u8 arrays (same contract as xla_resize).
+
+    ``mode``: "auto" prefers the padless kernel and falls back to the
+    padded one; "padless"/"padded" force a specific mode (padless raises if
+    infeasible).  LIBIQO_TPU_PADDED=1 forces padded globally.
+    """
+    if not _plan_ok(plan, th_target, tw_target):
+        raise ValueError("plan not supported by the pallas path; use xla_resize")
+    import os
+
+    if mode == "auto" and os.environ.get("LIBIQO_TPU_PADDED"):
+        mode = "padded"
+    if mode in ("auto", "padless"):
+        built = _make_padless_fn(plan, interpret=interpret,
+                                 th_target=th_target, tw_target=tw_target,
+                                 grid_order=grid_order)
+        if built is not None:
+            return built
+        if mode == "padless":
+            raise ValueError("plan not supported by the padless pallas mode")
+    return _make_padded_fn(plan, interpret=interpret, th_target=th_target,
+                           tw_target=tw_target, grid_order=grid_order)

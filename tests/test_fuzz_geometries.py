@@ -41,9 +41,13 @@ def test_fuzz_lanczos(i):
     degree = int(RNG.integers(1, 5))
     px = int(RNG.integers(1, 3))
     plan = build_plan("lanczos", sw, sh, dw, dh, degree=degree, px_scale=px)
-    if _lanczos_crash(plan):
-        pytest.skip("reference UB")
     src = RNG.integers(0, 256, (sh, sw), np.uint8)
+    if _lanczos_crash(plan):
+        from helpers import assert_defined_divergence
+
+        assert_defined_divergence(
+            plan, src, f"lanczos{degree} px{px} {sw}x{sh}->{dw}x{dh}")
+        return
     got = numpy_ref.resize_u8(plan, src)
     want = cref.lanczos(degree, src, dw, dh, px)
     np.testing.assert_array_equal(
@@ -64,9 +68,12 @@ def test_fuzz_area(i):
 def test_fuzz_linear(i):
     sw, sh, dw, dh = _rand_geom()
     plan = build_plan("linear", sw, sh, dw, dh)
-    if plan.y.reference_oob or plan.x.reference_oob:
-        pytest.skip("reference UB")
     src = RNG.integers(0, 256, (sh, sw), np.uint8)
+    if plan.y.reference_oob or plan.x.reference_oob:
+        from helpers import assert_defined_divergence
+
+        assert_defined_divergence(plan, src, f"linear {sw}x{sh}->{dw}x{dh}")
+        return
     np.testing.assert_array_equal(
         numpy_ref.resize_u8(plan, src), cref.linear(src, dw, dh),
         err_msg=f"linear {sw}x{sh}->{dw}x{dh}")

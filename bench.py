@@ -59,20 +59,25 @@ def main() -> None:
     cfn, cops = chroma._jitted, chroma._operands
 
     def run(y, u, v):
-        # y is loop-carried so the 1-byte CSE-defeating perturbation updates
-        # it in place instead of copying the whole batch every iteration
+        # y and uv are loop-carried and perturbed by one byte per iteration:
+        # the in-place dynamic_update_slice is free, and the data dependency
+        # keeps EVERY plane's resize inside the loop — without it XLA hoists
+        # the loop-invariant calls and the chroma cost silently vanishes
+        # from the measurement (observed once the padless kernel landed).
         uv = jnp.concatenate([u, v])  # U+V share a plan: one fused call
 
         def body(i, carry):
-            y, acc = carry
-            y = jax.lax.dynamic_update_slice(
-                y, i.astype(jnp.uint8).reshape(1, 1, 1), (0, 0, 0))
+            y, uv, acc = carry
+            ib = i.astype(jnp.uint8).reshape(1, 1, 1)
+            y = jax.lax.dynamic_update_slice(y, ib, (0, 0, 0))
+            uv = jax.lax.dynamic_update_slice(uv, ib, (0, 0, 0))
             oy = lfn(*lops, y)
             ouv = cfn(*cops, uv)
-            return y, (acc ^ oy[:, :8, :128] ^ ouv[:batch, :8, :128]
-                       ^ ouv[batch:, :8, :128])
-        _, acc = jax.lax.fori_loop(0, inner, body,
-                                   (y, jnp.zeros((batch, 8, 128), jnp.uint8)))
+            return y, uv, (acc ^ oy[:, :8, :128] ^ ouv[:batch, :8, :128]
+                           ^ ouv[batch:, :8, :128])
+        _, _, acc = jax.lax.fori_loop(
+            0, inner, body,
+            (y, uv, jnp.zeros((batch, 8, 128), jnp.uint8)))
         return acc[0, 0, 0]
 
     jrun = jax.jit(run)

@@ -821,6 +821,21 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     y_exc, x_exc = vy.exceptions, vx.exceptions
     y_int, x_int = vy.interior, vx.interior
 
+    # Border-renormalization divides are the kernel's most expensive VPU op
+    # by far (measured: the Y-border integer divide alone cost 0.31 of 0.57
+    # ms/frame on 4K lanczos3 when run on every tile).  Border rows/columns
+    # only exist in a few tiles, so run the divide under pl.when on exactly
+    # those tiles.  The Y pass then stages its result through a VMEM work
+    # buffer (values can't cross a pl.when).
+    y_btiles = tuple(t for t in range(n_ty)
+                     if border_y[t * th:(t + 1) * th].any())
+    x_btiles = tuple(t for t in range(n_tx)
+                     if border_x[0, t * tw:(t + 1) * tw].any())
+    y_cond = (wrap16 and y_has_border
+              and 0 < len(y_btiles) < n_ty and len(y_btiles) <= 4)
+    x_cond = (x_has_border and 0 < len(x_btiles) < n_tx
+              and len(x_btiles) <= 4)
+
     if grid_order == "xy":
         grid = (n_tx, n_ty)
         g_y, g_x = 1, 0       # program_id dims for the row / col tile index
@@ -872,7 +887,24 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             nume = d if nume is None else nume + d
         if wrap16:
             w = ((nume + 32768) & 65535) - 32768
-            if y_has_border:
+            if y_has_border and y_cond:
+                work_ref = scratch[-1]
+                work_ref[...] = w
+                gy_id = pl.program_id(g_y)
+                hit = gy_id == y_btiles[0]
+                for t in y_btiles[1:]:
+                    hit = hit | (gy_id == t)
+
+                @pl.when(hit)
+                def _():
+                    ww = work_ref[...]
+                    bval = jax.lax.div(
+                        ww * y_bias, jnp.broadcast_to(dy_ref[...], ww.shape))
+                    bval = ((bval + 32768) & 65535) - 32768
+                    work_ref[...] = jnp.where(by_ref[...] > 0, bval, ww)
+
+                w = work_ref[...]
+            elif y_has_border:
                 bval = jax.lax.div(w * y_bias,
                                    jnp.broadcast_to(dy_ref[...], w.shape))
                 bval = ((bval + 32768) & 65535) - 32768
@@ -899,6 +931,24 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
 
         # ---- rounding epilogue ------------------------------------------
         main = (sums + half) >> out_shift
+        if x_has_border and x_cond:
+            vm = ((main + 32768) & 65535) - 32768
+            out_ref[...] = jnp.clip(vm, 0, 255).astype(jnp.uint8)
+            gx_id = pl.program_id(g_x)
+            hit = gx_id == x_btiles[0]
+            for t in x_btiles[1:]:
+                hit = hit | (gx_id == t)
+
+            @pl.when(hit)
+            def _():
+                bval = jax.lax.div(
+                    sums + half,
+                    jnp.broadcast_to(dx_ref[...] * y_bias, sums.shape))
+                vv = jnp.where(bx_ref[...] > 0, bval, main)
+                vv = ((vv + 32768) & 65535) - 32768
+                out_ref[...] = jnp.clip(vv, 0, 255).astype(jnp.uint8)
+
+            return
         if x_has_border:
             bval = jax.lax.div(sums + half,
                                jnp.broadcast_to(dx_ref[...] * y_bias, sums.shape))
@@ -953,6 +1003,9 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             scratch_shapes += [pltpu.VMEM(o.shape, jnp.bfloat16)
                                for o in cx_ops]
         scratch_shapes.append(pltpu.SemaphoreType.DMA((n_sc,)))
+    if y_cond:
+        # work staging for the conditional Y-border epilogue (always last)
+        scratch_shapes.append(pltpu.VMEM((th, band_w), jnp.int32))
 
     call = pl.pallas_call(
         kernel, grid=grid,

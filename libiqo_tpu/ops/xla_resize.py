@@ -45,9 +45,16 @@ __all__ = ["DeviceTables", "build_tables", "make_resize_fn", "resize_xla"]
 
 _F32_EXACT_COEF_SUM = 65535   # max per-row sum(|coef|) for exact f32 dots
 _BF16_MAX_COEFS = 258         # num_coefs * 255 * 255 < 2**24
+_DENSE_LIMIT = 1 << 22        # elements before a dense (n_dst, n_src) matrix
+#                               switches to the O(num_coefs) banded form
 
 
-def _axis_mode(ax: AxisPlan) -> str:
+def _axis_mode(ax: AxisPlan, allow_banded: bool = True) -> str:
+    if allow_banded and ax.n_src * ax.n_dst > _DENSE_LIMIT:
+        # banded streaming form: the reference never materializes a dense
+        # matrix either — it walks num_coefs taps per output
+        # (ref: src/IQOAreaResizerImpl_Generic.cpp:277-294)
+        return "banded"
     if int(np.abs(ax.coef.astype(np.int64)).sum(axis=1).max()) > _F32_EXACT_COEF_SUM:
         return "int"
     # bf16 byte planes only where bf16 is native silicon: XLA:CPU's
@@ -58,6 +65,14 @@ def _axis_mode(ax: AxisPlan) -> str:
     if ax.num_coefs <= _BF16_MAX_COEFS and jax.default_backend() == "tpu":
         return "bf16"
     return "f32"
+
+
+def _pack_banded(ax: AxisPlan):
+    """O(num_coefs) operands: per-output tap rows + clipped source indices
+    (OOB taps are already zero in the plan, so clipped indices are inert)."""
+    idx = np.clip(ax.start[:, None] + np.arange(ax.num_coefs, dtype=np.int64),
+                  0, ax.n_src - 1)
+    return (ax.coef.astype(np.int32), idx.astype(np.int32))
 
 
 def _pack_matrix(dense_i64: np.ndarray, mode: str):
@@ -88,11 +103,14 @@ class DeviceTables:
                 self.border_y, self.border_x)
 
 
-def build_tables(plan: ResizePlan) -> DeviceTables:
-    y_mode, x_mode = _axis_mode(plan.y), _axis_mode(plan.x)
+def build_tables(plan: ResizePlan, allow_banded: bool = True) -> DeviceTables:
+    y_mode = _axis_mode(plan.y, allow_banded)
+    x_mode = _axis_mode(plan.x, allow_banded)
     return DeviceTables(
-        cy=_pack_matrix(plan.y.dense(np.int64), y_mode),
-        cxt=_pack_matrix(plan.x.dense(np.int64).T.copy(), x_mode),
+        cy=(_pack_banded(plan.y) if y_mode == "banded"
+            else _pack_matrix(plan.y.dense(np.int64), y_mode)),
+        cxt=(_pack_banded(plan.x) if x_mode == "banded"
+             else _pack_matrix(plan.x.dense(np.int64).T.copy(), x_mode)),
         deno_y=np.where(plan.y.deno == 0, 1, plan.y.deno).astype(np.int32)[:, None],
         deno_x=np.where(plan.x.deno == 0, 1, plan.x.deno).astype(np.int32)[None, :],
         border_y=plan.y.is_border[:, None],
@@ -122,6 +140,20 @@ def _dot_exact_i32(a: jax.Array, b: jax.Array) -> jax.Array:
 
 def _matmul_coef_left(c_pack: tuple, mode: str, s_u8: jax.Array) -> jax.Array:
     """coef @ src as exact int32.  ``s_u8`` values are 0..255."""
+    if mode == "banded":
+        # stream num_coefs row-gathers (O(taps * n_dst * W) work, O(n_dst * W)
+        # memory), accumulating in int32 whose wrap matches the reference's C
+        # accumulator (ref: src/IQOAreaResizerImpl_Generic.cpp:277-294)
+        coef, idx = c_pack
+        s = s_u8.astype(jnp.int32)
+
+        def step(acc, tap):
+            c_t, i_t = tap
+            return acc + c_t[:, None] * jnp.take(s, i_t, axis=0), None
+
+        init = jnp.zeros((coef.shape[0], s.shape[1]), jnp.int32)
+        acc, _ = jax.lax.scan(step, init, (coef.T, idx.T))
+        return acc
     if mode == "bf16":
         hi, lo = c_pack
         s = s_u8.astype(jnp.bfloat16)
@@ -134,6 +166,16 @@ def _matmul_coef_left(c_pack: tuple, mode: str, s_u8: jax.Array) -> jax.Array:
 
 def _matmul_work_right(w_i32: jax.Array, c_pack: tuple, mode: str) -> jax.Array:
     """work @ coefT as exact int32.  ``w_i32`` values span int16/uint16."""
+    if mode == "banded":
+        coef, idx = c_pack  # (n_dst_x, taps)
+
+        def step(acc, tap):
+            c_t, i_t = tap
+            return acc + c_t[None, :] * jnp.take(w_i32, i_t, axis=1), None
+
+        init = jnp.zeros((w_i32.shape[0], coef.shape[0]), jnp.int32)
+        acc, _ = jax.lax.scan(step, init, (coef.T, idx.T))
+        return acc
     w_lo = w_i32 & 255
     w_hi = w_i32 >> 8
     if mode == "bf16":

@@ -96,7 +96,8 @@ def make_row_sharded_fn(plan: ResizePlan, mesh: Mesh, axis: str = "row"):
 
     n = mesh.shape[axis]
     hs, hd, halo_up, halo_dn, cy_blocks = _row_shard_layout(plan, n)
-    t = xla_resize.build_tables(plan)
+    # dense modes only: this path packs explicit per-device Cy blocks
+    t = xla_resize.build_tables(plan, allow_banded=False)
     y_mode = t.y_mode
 
     # pack per-device Cy blocks in the same exact-dot format

@@ -61,9 +61,12 @@ def main() -> None:
             uv = jnp.concatenate([u, v])
 
             def body(i, carry):
-                y, acc = carry
+                # both inputs stay loop-carried + perturbed: XLA hoists any
+                # resize whose input is loop-invariant out of the loop
+                y, uv, acc = carry
                 if kind != "floor":
                     y = perturb(y, i)
+                    uv = perturb(uv, i)
                 if kind == "pad":
                     p = jnp.pad(y, ((0, 0), (32, 40), (128, 384)))
                     acc = acc ^ p[:, :8, :128] ^ p[:, -8:, -128:]
@@ -75,10 +78,10 @@ def main() -> None:
                     acc = acc ^ ouv[:batch, :8, :128] ^ ouv[batch:, :8, :128]
                 if kind in ("floor", "dus"):
                     acc = acc ^ y[:, :8, :128]
-                return y, acc
+                return y, uv, acc
 
-            _, acc = jax.lax.fori_loop(
-                0, inner, body, (y, jnp.zeros((batch, 8, 128), jnp.uint8)))
+            _, _, acc = jax.lax.fori_loop(
+                0, inner, body, (y, uv, jnp.zeros((batch, 8, 128), jnp.uint8)))
             return acc[0, 0, 0]
 
         return jax.jit(run)

@@ -758,9 +758,15 @@ def _auto_tiles_padless(plan: ResizePlan):
 
 def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                      th_target: int = 0, tw_target: int = 0,
-                     grid_order: str = "xy"):
+                     grid_order: str = "xy", force_streamed_y: bool = False):
     """Padless-mode builder (see module docstring).  Returns None when the
-    geometry doesn't fit this mode's VMEM envelope (caller falls back)."""
+    geometry doesn't fit this mode's VMEM envelope (caller falls back).
+
+    ``force_streamed_y`` keeps the Y coefficient blocks as per-tile
+    streamed operands (no resident variant dedup) so callers can substitute
+    per-device block values under shard_map (parallel/sharding.py); the
+    returned ``fn`` carries layout metadata attributes for that use.
+    """
     y, x = plan.y, plan.x
     if th_target and tw_target:
         th = min(-(-y.n_dst // 32) * 32, -(-th_target // 32) * 32)
@@ -777,7 +783,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
 
     vy = _dedup_blocks(_build_blocks_padless(y, py, transpose=False))
     vx = _dedup_blocks(_build_blocks_padless(x, px, transpose=True))
-    y_res = (len(vy.uniq) <= _MAX_RESIDENT_VARS
+    y_res = (not force_streamed_y
+             and len(vy.uniq) <= _MAX_RESIDENT_VARS
              and len(vy.exceptions) <= _MAX_EXCEPTIONS)
     x_res = (len(vx.uniq) <= _MAX_RESIDENT_VARS
              and len(vx.exceptions) <= _MAX_EXCEPTIONS)
@@ -1028,6 +1035,10 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         return out.reshape(batch_shape + out.shape[-2:])
 
     operands = (*cy_ops, *cx_ops, deno_y, border_y, deno_x, border_x)
+    # layout metadata for shard_map callers (parallel/sharding.py)
+    fn.n_cy, fn.n_cx = n_cy, n_cx
+    fn.tiles = (th, tw)
+    fn.py, fn.px = py, px
     return fn, operands
 
 

@@ -21,28 +21,53 @@ coefficient tables, replicated everywhere.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.plan import ResizePlan
-from ..ops import xla_resize
+from ..core.plan import AxisPlan, ResizePlan
+from ..ops import pallas_resize, xla_resize
 
 __all__ = ["resize_batch_dp", "make_row_sharded_fn", "make_yuv_step_fn"]
 
 
-def resize_batch_dp(plan: ResizePlan, frames, mesh: Mesh, axis: str = "data"):
+def _local_backend(plan: ResizePlan, backend: str):
+    """Resolve the per-device compute path: the fused Pallas kernel where it
+    applies (interpret mode off-TPU, mirroring api.py's dispatch), else the
+    XLA formulation."""
+    if backend in ("auto", "pallas") and pallas_resize.supports_plan(plan):
+        interpret = jax.devices()[0].platform != "tpu"
+        return "pallas", interpret
+    return "xla", False
+
+
+def resize_batch_dp(plan: ResizePlan, frames, mesh: Mesh, axis: str = "data",
+                    backend: str = "auto"):
     """Resize a (B, H, W) u8 batch with B sharded over ``axis``.
 
-    One compiled executable; no collectives (outputs stay sharded).
+    Each device runs the fused Pallas kernel on its local batch shard via
+    shard_map (XLA cannot partition a custom call by itself); no
+    collectives — outputs stay sharded.
     """
-    fn, operands = xla_resize.make_resize_fn(plan)
+    from jax import shard_map
+
+    kind, interpret = _local_backend(plan, backend)
+    if kind == "pallas":
+        fn, operands = pallas_resize.make_resize_fn(plan, interpret=interpret)
+    else:
+        fn, operands = xla_resize.make_resize_fn(plan)
+
+    in_specs = (*[P()] * len(operands), P(axis, None, None))
+    # check_vma=False: pallas_call's out_shape carries no vma annotation
+    sm = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                   out_specs=P(axis, None, None), check_vma=False)
     in_shard = NamedSharding(mesh, P(axis, None, None))
     frames = jax.device_put(frames, in_shard)
     ops = [jax.device_put(o, NamedSharding(mesh, P())) for o in operands]
-    jf = jax.jit(fn, out_shardings=in_shard)
-    return jf(*ops, frames)
+    return jax.jit(sm)(*ops, frames)
 
 
 def _row_shard_layout(plan: ResizePlan, n: int):
@@ -86,13 +111,129 @@ def _row_shard_layout(plan: ResizePlan, n: int):
     return hs, hd, halo_up, halo_dn, cy_blocks
 
 
-def make_row_sharded_fn(plan: ResizePlan, mesh: Mesh, axis: str = "row"):
+def _make_row_sharded_pallas(plan: ResizePlan, mesh: Mesh, axis: str,
+                             interpret: bool):
+    """Row-sharded resize with the fused Pallas kernel as the per-device
+    body: the halo-extended local band is a normal (band_rows, src_w) ->
+    (hd, dst_w) resize whose Y layout is IDENTICAL on every device (exact
+    shard divisibility makes the local tap starts shift-invariant) while
+    the Y coefficient/deno/border VALUES differ per device — so the kernel
+    is built once (streamed Y blocks) and the per-device values ride in as
+    sharded operands.  Returns None when this layout doesn't apply (caller
+    falls back to the XLA formulation)."""
+    n = mesh.shape[axis]
+    hs, hd, halo_up, halo_dn, _ = _row_shard_layout(plan, n)
+    band_rows = halo_up + hs + halo_dn
+    y = plan.y
+
+    # local tap starts must be the same on every device
+    start0 = y.start[:hd] + halo_up
+    for d in range(1, n):
+        if not np.array_equal(y.start[d * hd:(d + 1) * hd] - d * hs + halo_up,
+                              start0):
+            return None
+
+    def local_axis(d, is_border, deno):
+        sl = slice(d * hd, (d + 1) * hd)
+        return AxisPlan(
+            n_src=band_rows, n_dst=hd, num_coefs=y.num_coefs,
+            num_tables=y.num_tables, coef=y.coef[sl], start=start0,
+            deno=deno, is_border=is_border, bias_bit=y.bias_bit)
+
+    union_border = y.is_border.reshape(n, hd).any(axis=0)
+    y_tmpl = local_axis(0, union_border, y.deno[:hd])
+    plan_loc = dataclasses.replace(plan, y=y_tmpl)
+    if not pallas_resize.supports_plan(plan_loc):
+        return None
+    built = pallas_resize._make_padless_fn(plan_loc, interpret=interpret,
+                                           force_streamed_y=True)
+    if built is None:
+        return None
+    fn, tmpl_ops = built
+    n_cy, n_cx = fn.n_cy, fn.n_cx
+    th, _tw = fn.tiles
+    py = fn.py
+
+    # per-device Y coefficient blocks, byte-split CONSISTENTLY across the
+    # whole device stack (the kernel's baked scales must match)
+    blocks = np.stack([
+        pallas_resize._build_blocks_padless(
+            local_axis(d, y.is_border[d * hd:(d + 1) * hd],
+                       y.deno[d * hd:(d + 1) * hd]), py, False)
+        for d in range(n)])
+    planes, _scale = pallas_resize._byte_planes(blocks)
+    if len(planes) != n_cy:
+        return None  # value-range mismatch with the template build
+    cy_dev = [np.asarray(p) for p in planes]      # (n, n_ty, th, band_h)
+
+    n_rows_pad = py.n_tiles * th
+    deno_dev = np.ones((n, n_rows_pad, 1), np.int32)
+    border_dev = np.zeros((n, n_rows_pad, 1), np.int32)
+    for d in range(n):
+        sl = slice(d * hd, (d + 1) * hd)
+        deno_dev[d, :hd, 0] = np.where(y.deno[sl] == 0, 1, y.deno[sl])
+        border_dev[d, :hd, 0] = y.is_border[sl].astype(np.int32)
+
+    rest = tmpl_ops[n_cy + n_cx:]                 # deno_y, border_y, dx, bx
+    cx_ops = tmpl_ops[n_cy:n_cy + n_cx]
+    deno_x, border_x = rest[2], rest[3]
+
+    from jax import shard_map
+
+    def local_fn(*args):
+        *ops, src = args
+        cy = [o[0] for o in ops[:n_cy]]           # squeeze device dim
+        cx = ops[n_cy:n_cy + n_cx]
+        dy, by = ops[n_cy + n_cx][0], ops[n_cy + n_cx + 1][0]
+        dxo, bxo = ops[n_cy + n_cx + 2], ops[n_cy + n_cx + 3]
+
+        # halo exchange over ICI (wrapped edges masked to zero: the taps
+        # there are zero too, matching the reference's dropped taps)
+        idx = jax.lax.axis_index(axis)
+        parts = [src]
+        if halo_up:
+            tail = src[-halo_up:, :]
+            up = jax.lax.ppermute(tail, axis, [(i, (i + 1) % n) for i in range(n)])
+            parts.insert(0, jnp.where(idx > 0, up, jnp.zeros_like(up)))
+        if halo_dn:
+            head = src[:halo_dn, :]
+            dn = jax.lax.ppermute(head, axis, [(i, (i - 1) % n) for i in range(n)])
+            parts.append(jnp.where(idx < n - 1, dn, jnp.zeros_like(dn)))
+        band = jnp.concatenate(parts, axis=0) if len(parts) > 1 else src
+        return fn(*cy, *cx, dy, by, dxo, bxo, band)
+
+    in_specs = (
+        *[P(axis, None, None, None)] * n_cy,      # per-device Y blocks
+        *[P()] * n_cx,                            # replicated X blocks
+        P(axis, None, None),                      # deno_y
+        P(axis, None, None),                      # border_y
+        P(), P(),                                 # deno_x, border_x
+        P(axis, None),                            # src rows
+    )
+    sm = shard_map(local_fn, mesh=mesh, in_specs=in_specs,
+                   out_specs=P(axis, None), check_vma=False)
+    operands = (*cy_dev, *cx_ops, deno_dev, border_dev, deno_x, border_x)
+    return jax.jit(sm), operands
+
+
+def make_row_sharded_fn(plan: ResizePlan, mesh: Mesh, axis: str = "row",
+                        backend: str = "auto"):
     """Build a jitted (src_h, src_w) -> (dst_h, dst_w) resize with source
     and output rows sharded over ``axis``; Y-pass halos move via ppermute.
+
+    The per-device body is the fused Pallas kernel whenever the layout
+    allows (the single-chip fast path inherits multi-chip scaling); the
+    dense XLA formulation is the fallback.
 
     Returns (fn, operands): call fn(*operands, src) with src row-sharded.
     """
     from jax import shard_map
+
+    kind, interpret = _local_backend(plan, backend)
+    if kind == "pallas":
+        built = _make_row_sharded_pallas(plan, mesh, axis, interpret)
+        if built is not None:
+            return built
 
     n = mesh.shape[axis]
     hs, hd, halo_up, halo_dn, cy_blocks = _row_shard_layout(plan, n)
@@ -174,23 +315,34 @@ def make_row_sharded_fn(plan: ResizePlan, mesh: Mesh, axis: str = "row"):
 
 
 def make_yuv_step_fn(mesh: Mesh, src_w: int, src_h: int, dst_w: int, dst_h: int,
-                     degree: int = 3, data_axis: str = "data"):
+                     degree: int = 3, data_axis: str = "data",
+                     backend: str = "auto"):
     """The framework's full multi-chip "step": a batched YUV420 frame resize
     (Y at full size, U/V at half size with px_scale=2,
     ref: sample/resize_yuv420p.cpp:150-163) with the batch sharded over
-    ``data_axis``.  Frame-parallel resizing needs no collectives; the
-    row-sharded path (make_row_sharded_fn) covers the spatial axis.
+    ``data_axis`` via shard_map — each device runs the fused Pallas kernel
+    (where it applies) on its local frame shard.  Frame-parallel resizing
+    needs no collectives; the row-sharded path (make_row_sharded_fn) covers
+    the spatial axis.
 
     Returns (step, operands): step(*operands, y, u, v) -> (Y', U', V').
     """
+    from jax import shard_map
+
     from ..core.plan import build_plan
 
     plan_l = build_plan("lanczos", src_w, src_h, dst_w, dst_h, degree=degree)
     plan_c = build_plan("lanczos", src_w // 2, src_h // 2, dst_w // 2, dst_h // 2,
                         degree=degree, px_scale=2)
 
-    fn_l, ops_l = xla_resize.make_resize_fn(plan_l)
-    fn_c, ops_c = xla_resize.make_resize_fn(plan_c)
+    def make(plan):
+        kind, interpret = _local_backend(plan, backend)
+        if kind == "pallas":
+            return pallas_resize.make_resize_fn(plan, interpret=interpret)
+        return xla_resize.make_resize_fn(plan)
+
+    fn_l, ops_l = make(plan_l)
+    fn_c, ops_c = make(plan_c)
     n_l, n_c = len(ops_l), len(ops_c)
 
     def step(*args):
@@ -199,13 +351,12 @@ def make_yuv_step_fn(mesh: Mesh, src_w: int, src_h: int, dst_w: int, dst_h: int,
         y, u, v = args[n_l + n_c:]
         return fn_l(*ol, y), fn_c(*oc, u), fn_c(*oc, v)
 
-    batch_spec = P(data_axis, None, None)
-    shard_in = (
-        *[NamedSharding(mesh, P())] * (n_l + n_c),
-        NamedSharding(mesh, batch_spec),
-        NamedSharding(mesh, batch_spec),
-        NamedSharding(mesh, batch_spec),
+    in_specs = (
+        *[P()] * (n_l + n_c),
+        P(data_axis, None, None),
+        P(data_axis, None, None),
+        P(data_axis, None, None),
     )
-    jf = jax.jit(step, in_shardings=shard_in,
-                 out_shardings=NamedSharding(mesh, batch_spec))
-    return jf, (*ops_l, *ops_c)
+    sm = shard_map(step, mesh=mesh, in_specs=in_specs,
+                   out_specs=P(data_axis, None, None), check_vma=False)
+    return jax.jit(sm), (*ops_l, *ops_c)

@@ -51,6 +51,8 @@ def clear_compiled_cache() -> None:
 
 
 def _cache_put(key, value) -> None:
+    if _COMPILED_CACHE_MAX <= 0:
+        return                            # caching disabled
     if key in _COMPILED_CACHE:
         del _COMPILED_CACHE[key]          # refresh LRU position
     elif len(_COMPILED_CACHE) >= _COMPILED_CACHE_MAX:

@@ -781,16 +781,18 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     n_ty, n_tx = py.n_tiles, px.n_tiles
     band_h, band_w = py.band, px.band
 
-    vy = _dedup_blocks(_build_blocks_padless(y, py, transpose=False))
-    vx = _dedup_blocks(_build_blocks_padless(x, px, transpose=True))
+    blocks_y = _build_blocks_padless(y, py, transpose=False)
+    blocks_x = _build_blocks_padless(x, px, transpose=True)
+    vy = _dedup_blocks(blocks_y)
+    vx = _dedup_blocks(blocks_x)
     y_res = (not force_streamed_y
              and len(vy.uniq) <= _MAX_RESIDENT_VARS
              and len(vy.exceptions) <= _MAX_EXCEPTIONS)
     x_res = (len(vx.uniq) <= _MAX_RESIDENT_VARS
              and len(vx.exceptions) <= _MAX_EXCEPTIONS)
 
-    cy_src = vy.uniq if y_res else _build_blocks_padless(y, py, False)
-    cx_src = vx.uniq if x_res else _build_blocks_padless(x, px, True)
+    cy_src = vy.uniq if y_res else blocks_y
+    cx_src = vx.uniq if x_res else blocks_x
     cy_planes, cy_scale = _byte_planes(cy_src)
     cx_planes, cx_scale = _byte_planes(cx_src)
     n_cy, n_cx = len(cy_planes), len(cx_planes)

@@ -35,12 +35,15 @@ __all__ = ["resize_batch_dp", "make_row_sharded_fn", "make_yuv_step_fn"]
 
 
 def _local_backend(plan: ResizePlan, backend: str):
-    """Resolve the per-device compute path: the fused Pallas kernel where it
-    applies (interpret mode off-TPU, mirroring api.py's dispatch), else the
-    XLA formulation."""
-    if backend in ("auto", "pallas") and pallas_resize.supports_plan(plan):
-        interpret = jax.devices()[0].platform != "tpu"
-        return "pallas", interpret
+    """Resolve the per-device compute path, mirroring api.py's dispatch:
+    ``auto`` takes the fused Pallas kernel only on real TPU silicon (its
+    interpret mode is a step-by-step simulator, orders of magnitude slower
+    than the XLA formulation); an explicit ``pallas`` forces it anywhere
+    (interpret off-TPU — tests use this)."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    want = backend == "pallas" or (backend == "auto" and on_tpu)
+    if want and pallas_resize.supports_plan(plan):
+        return "pallas", not on_tpu
     return "xla", False
 
 
@@ -109,6 +112,26 @@ def _row_shard_layout(plan: ResizePlan, n: int):
             if 0 <= s < src_h:
                 cy_blocks[d, :, j] = cy_full[d * hd:(d + 1) * hd, s]
     return hs, hd, halo_up, halo_dn, cy_blocks
+
+
+def _halo_exchange(src, axis: str, n: int, halo_up: int, halo_dn: int):
+    """Extend a device's local row shard with neighbor halos over ICI.
+
+    Wrapped edges (device 0's up-halo, device n-1's down-halo) are masked
+    to zero: the corresponding taps are zero too, matching the reference
+    dropping out-of-range taps at runtime.
+    """
+    idx = jax.lax.axis_index(axis)
+    parts = [src]
+    if halo_up:
+        tail = src[-halo_up:, :]
+        up = jax.lax.ppermute(tail, axis, [(i, (i + 1) % n) for i in range(n)])
+        parts.insert(0, jnp.where(idx > 0, up, jnp.zeros_like(up)))
+    if halo_dn:
+        head = src[:halo_dn, :]
+        dn = jax.lax.ppermute(head, axis, [(i, (i - 1) % n) for i in range(n)])
+        parts.append(jnp.where(idx < n - 1, dn, jnp.zeros_like(dn)))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else src
 
 
 def _make_row_sharded_pallas(plan: ResizePlan, mesh: Mesh, axis: str,
@@ -187,19 +210,7 @@ def _make_row_sharded_pallas(plan: ResizePlan, mesh: Mesh, axis: str,
         dy, by = ops[n_cy + n_cx][0], ops[n_cy + n_cx + 1][0]
         dxo, bxo = ops[n_cy + n_cx + 2], ops[n_cy + n_cx + 3]
 
-        # halo exchange over ICI (wrapped edges masked to zero: the taps
-        # there are zero too, matching the reference's dropped taps)
-        idx = jax.lax.axis_index(axis)
-        parts = [src]
-        if halo_up:
-            tail = src[-halo_up:, :]
-            up = jax.lax.ppermute(tail, axis, [(i, (i + 1) % n) for i in range(n)])
-            parts.insert(0, jnp.where(idx > 0, up, jnp.zeros_like(up)))
-        if halo_dn:
-            head = src[:halo_dn, :]
-            dn = jax.lax.ppermute(head, axis, [(i, (i - 1) % n) for i in range(n)])
-            parts.append(jnp.where(idx < n - 1, dn, jnp.zeros_like(dn)))
-        band = jnp.concatenate(parts, axis=0) if len(parts) > 1 else src
+        band = _halo_exchange(src, axis, n, halo_up, halo_dn)
         return fn(*cy, *cx, dy, by, dxo, bxo, band)
 
     in_specs = (
@@ -262,17 +273,7 @@ def make_row_sharded_fn(plan: ResizePlan, mesh: Mesh, axis: str = "row",
          ymode, xmode) = static
 
         # ---- halo exchange over ICI --------------------------------------
-        idx = jax.lax.axis_index(axis)
-        parts = [src]
-        if halo_up:
-            tail = src[-halo_up:, :]
-            up = jax.lax.ppermute(tail, axis, [(i, (i + 1) % n) for i in range(n)])
-            parts.insert(0, jnp.where(idx > 0, up, jnp.zeros_like(up)))
-        if halo_dn:
-            head = src[:halo_dn, :]
-            dn = jax.lax.ppermute(head, axis, [(i, (i - 1) % n) for i in range(n)])
-            parts.append(jnp.where(idx < n - 1, dn, jnp.zeros_like(dn)))
-        band = jnp.concatenate(parts, axis=0) if len(parts) > 1 else src
+        band = _halo_exchange(src, axis, n, halo_up, halo_dn)
 
         # ---- local Y pass + border epilogue ------------------------------
         nume = xla_resize._matmul_coef_left(cy_p, ymode, band)
@@ -331,8 +332,14 @@ def make_yuv_step_fn(mesh: Mesh, src_w: int, src_h: int, dst_w: int, dst_h: int,
 
     from ..core.plan import build_plan
 
+    # same stride semantics as yuv.YUV420Resizer: luma at TRUE (possibly
+    # odd) dims, chroma at even-stride-derived dims
+    # (ref: sample/resize_yuv420p.cpp:66-69,125-159) — callers pass luma
+    # planes of shape (src_h, src_w) and chroma of the stride-halves
+    sw, sh = src_w + src_w % 2, src_h + src_h % 2
+    dw, dh = dst_w + dst_w % 2, dst_h + dst_h % 2
     plan_l = build_plan("lanczos", src_w, src_h, dst_w, dst_h, degree=degree)
-    plan_c = build_plan("lanczos", src_w // 2, src_h // 2, dst_w // 2, dst_h // 2,
+    plan_c = build_plan("lanczos", sw // 2, sh // 2, dw // 2, dh // 2,
                         degree=degree, px_scale=2)
 
     def make(plan):

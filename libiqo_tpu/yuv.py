@@ -118,14 +118,18 @@ class YUV420Resizer:
     def _pad_y(self, oy):
         """Place the true-dim luma result into the evened-stride layout;
         the padding column/row stays zero, matching the reference's
-        zero-initialized output buffer (sample/resize_yuv420p.cpp:88)."""
+        zero-initialized output buffer (sample/resize_yuv420p.cpp:88).
+        Preserves array kind: jax in -> jax out (no forced host sync)."""
         w, h = self._true_dst
         dw, dh = self.dst_size
         if (w, h) == (dw, dh):
             return oy
-        out = np.zeros(oy.shape[:-2] + (dh, dw), np.uint8)
-        out[..., :h, :w] = np.asarray(oy)
-        return out
+        widths = [(0, 0)] * (oy.ndim - 2) + [(0, dh - h), (0, dw - w)]
+        if isinstance(oy, np.ndarray):
+            return np.pad(oy, widths)
+        import jax.numpy as jnp
+
+        return jnp.pad(oy, widths)
 
     def resize(self, frame: YUV420Frame) -> YUV420Frame:
         # U and V share a plan: one batched executable call for both

@@ -99,3 +99,39 @@ def test_batch_dp_pallas_vs_xla():
         gold = numpy_ref.resize_u8(plan, frames[i])
         np.testing.assert_array_equal(out_p[i], gold)
         np.testing.assert_array_equal(out_x[i], gold)
+
+
+def test_yuv_step_odd_dims():
+    """make_yuv_step_fn must follow the sample's stride semantics for odd
+    dims: luma plans at TRUE dims, chroma at even-stride halves."""
+    mesh = _mesh((2,), ("data",))
+    step, operands = sharding.make_yuv_step_fn(mesh, 63, 47, 31, 23, degree=3)
+    B = 2
+    y = RNG.integers(0, 256, (B, 47, 63), np.uint8)
+    u = RNG.integers(0, 256, (B, 24, 32), np.uint8)   # stride halves
+    v = RNG.integers(0, 256, (B, 24, 32), np.uint8)
+    oy, ou, ov = step(*operands, y, u, v)
+    pl = build_plan("lanczos", 63, 47, 31, 23, degree=3)
+    pc = build_plan("lanczos", 32, 24, 16, 12, degree=3, px_scale=2)
+    for i in range(B):
+        np.testing.assert_array_equal(np.asarray(oy)[i], numpy_ref.resize_u8(pl, y[i]))
+        np.testing.assert_array_equal(np.asarray(ou)[i], numpy_ref.resize_u8(pc, u[i]))
+        np.testing.assert_array_equal(np.asarray(ov)[i], numpy_ref.resize_u8(pc, v[i]))
+
+
+def test_padded_resize_batch_preserves_jax_arrays():
+    """YUV420Resizer with odd dst dims must not force device->host syncs
+    for jax-array batches (the zero pad stays a device op)."""
+    import jax.numpy as jnp
+
+    from libiqo_tpu.yuv import YUV420Resizer
+
+    r = YUV420Resizer("area", 64, 48, 31, 23, backend="xla")
+    y = jnp.asarray(RNG.integers(0, 256, (2, 48, 64), np.uint8))
+    u = jnp.asarray(RNG.integers(0, 256, (2, 24, 32), np.uint8))
+    v = jnp.asarray(RNG.integers(0, 256, (2, 24, 32), np.uint8))
+    oy, ou, ov = r.resize_batch(y, u, v)
+    assert not isinstance(oy, np.ndarray)
+    assert oy.shape == (2, 24, 32)  # evened stride layout
+    assert (np.asarray(oy)[:, 23:, :] == 0).all()
+    assert (np.asarray(oy)[:, :, 31:] == 0).all()

@@ -144,14 +144,59 @@ def _tile_axis(ax: AxisPlan, tile: int, align: int):
     return _Axis(tile, n_tiles, step, band, pad_lo, pad_hi, n_pad, halo), 0
 
 
-def _byte_planes(blocks: np.ndarray):
+def _single_plane_ok(blocks: np.ndarray, axis: int) -> bool:
+    """True when one bf16 plane represents ``blocks`` exactly AND every dot
+    against 8-bit operands stays within f32's exact integer range.
+
+    bf16's 8-bit mantissa represents every signed integer in [-256, 256]
+    exactly (sign is free), so the single-plane gate is NOT [0, 255]: Q6
+    Lanczos Y taps (signed) and Q8 Area Y taps (max 256) both qualify —
+    halving the Y-pass MXU work vs a hi/lo byte split.  Exactness of the
+    accumulation needs per-output |tap|-sums (along the contraction
+    ``axis``) <= 2**24/255."""
+    return (int(blocks.min()) >= -256 and int(blocks.max()) <= 256
+            and int(np.abs(blocks).sum(axis=axis).max()) <= (1 << 24) // 255)
+
+
+def _byte_planes(blocks: np.ndarray, axis: int = -1):
     """Split int blocks into exact bf16 byte planes; single plane when the
-    values already fit 8 bits."""
-    if blocks.min() >= 0 and blocks.max() <= 255:
+    values fit bf16's exact signed range (see _single_plane_ok).  ``axis``
+    is the contraction axis of the dot the planes will feed."""
+    if _single_plane_ok(blocks, axis):
         return ((blocks.astype(np.float32).astype(jnp.bfloat16)), ), (1,)
     hi = (blocks >> 8).astype(np.float32).astype(jnp.bfloat16)
     lo = (blocks & 255).astype(np.float32).astype(jnp.bfloat16)
     return (hi, lo), (256, 1)
+
+
+def _kara_planes(blocks: np.ndarray, axis: int):
+    """Balanced-split Karatsuba operands for 16-bit coefficient blocks.
+
+    With c = e*256 + f balanced (f in [-128, 127], e in [-128, 128]) and
+    the work rows split likewise (w = a*256 + b), e+f and a+b stay inside
+    bf16's exact signed range [-256, 256], so
+
+        sum w*c = 65280*D1 - 255*D2 + 256*D3
+        D1 = a @ e,  D2 = b @ f,  D3 = (a+b) @ (e+f)
+
+    needs THREE exact dots instead of the hi/lo split's four.  (The round-1
+    note that Karatsuba "fails the 8-bit bound" assumed unsigned planes;
+    the signed 9-bit exact range makes the middle term representable.)
+    Exactness: |a|<=128, |b|<=128, |a+b|<=256 and per-output sums along
+    ``axis`` satisfy 128*sum|e|, 128*sum|f|, 256*sum|e+f| < 2**24, asserted
+    here from the actual tables.
+    """
+    f = ((blocks + 128) & 255) - 128
+    e = (blocks - f) >> 8
+    g = e + f
+    assert e.min() >= -128 and e.max() <= 128, "coef hi plane out of range"
+    assert g.min() >= -256 and g.max() <= 256, "coef sum plane out of range"
+    cap = 1 << 24
+    assert 128 * int(np.abs(e).sum(axis=axis).max()) < cap
+    assert 128 * int(np.abs(f).sum(axis=axis).max()) < cap
+    assert 256 * int(np.abs(g).sum(axis=axis).max()) < cap
+    return tuple(p.astype(np.float32).astype(jnp.bfloat16)
+                 for p in (e, f, g))
 
 
 def _unclipped_coef(ax: AxisPlan, d: int, i: int) -> int:
@@ -227,6 +272,14 @@ _STEP_OVERHEAD = 5e-6  # per grid step
 _DMA_RATE = 6e11
 
 
+def _est_coef_single(ax: AxisPlan) -> bool:
+    """Cost-model estimate of _single_plane_ok from the plan's coefficient
+    table (the dense blocks carry the same values)."""
+    c = ax.coef.astype(np.int64)
+    return (c.min() >= -256 and c.max() <= 256
+            and int(np.abs(c).sum(axis=1).max()) <= (1 << 24) // 255)
+
+
 def _auto_tiles(plan: ResizePlan):
     """Pick (th, tw) minimizing a simple cost model: MXU flops (band
     over-fetch scales X flops), per-grid-step overhead, and band DMA.
@@ -237,7 +290,8 @@ def _auto_tiles(plan: ResizePlan):
     y, x = plan.y, plan.x
     r_sh, r_dh = _reduced(y)
     r_sw, r_dw = _reduced(x)
-    n_cy = 1 if (y.coef.min() >= 0 and y.coef.max() <= 255) else 2
+    n_cy = 1 if _est_coef_single(y) else 2
+    n_dx = 2 if _est_coef_single(x) else 4   # padded kernel: hi/lo X split
     best, best_cost = None, float("inf")
     for th in (96, 128, 192, 256):
         th_eff = min(-(-y.n_dst // 32) * 32, th)
@@ -251,7 +305,7 @@ def _auto_tiles(plan: ResizePlan):
             rows_pad = ty.n_tiles * th_eff
             cols_pad = tx.n_tiles * tw_eff
             flops = 2 * (rows_pad * tx.n_tiles * tx.band * ty.band * n_cy  # Y
-                         + rows_pad * cols_pad * tx.band * 4)              # X
+                         + rows_pad * cols_pad * tx.band * n_dx)           # X
             dma = n_tiles * (ty.band * tx.band)            # u8 band
             # coefficient streaming: per-tile unless exactly affine
             dma += (1 if x_affine else n_tiles) * 2 * tx.band * tw_eff * 2
@@ -284,7 +338,7 @@ def _plan_ok(plan: ResizePlan, th_target: int, tw_target: int) -> bool:
     est = (ty.band * tx.band            # u8 band
            + 4 * th * tx.band           # i32 work
            + 2 * 2 * th * ty.band       # Y blocks (<=2 planes)
-           + 2 * 2 * tx.band * tw       # X blocks
+           + 3 * 2 * tx.band * tw       # X blocks (<=3 Karatsuba planes)
            + 4 * 4 * th * tw)           # dot temps
     return est <= _VMEM_TILE_BUDGET
 
@@ -347,8 +401,8 @@ def _make_padded_fn(plan: ResizePlan, *, interpret: bool = False,
     if cx_shared:
         cx_full = cx_full[0:1]
 
-    cy_planes, cy_scale = _byte_planes(cy_full)
-    cx_planes, cx_scale = _byte_planes(cx_full)
+    cy_planes, cy_scale = _byte_planes(cy_full, axis=-1)
+    cx_planes, cx_scale = _byte_planes(cx_full, axis=-2)
     n_cy, n_cx = len(cy_planes), len(cx_planes)
     if blocked:
         # segment each plane to match the band pieces (Y along the band
@@ -721,7 +775,15 @@ def _auto_tiles_padless(plan: ResizePlan):
     y, x = plan.y, plan.x
     r_sh, r_dh = _reduced(y)
     r_sw, r_dw = _reduced(x)
-    n_cy = 1 if (y.coef.min() >= 0 and y.coef.max() <= 255) else 2
+    n_cy = 1 if _est_coef_single(y) else 2
+    # X: single exact plane -> 2 dots over 1 plane; Karatsuba (wrap16
+    # only) -> 3 dots over 3 planes; hi/lo -> 4 dots over 2 planes
+    if _est_coef_single(x):
+        n_dx, n_px = 2, 1
+    elif plan.wrap16:
+        n_dx, n_px = 3, 3
+    else:
+        n_dx, n_px = 4, 2
     best, best_cost = None, float("inf")
     for th in (96, 128, 160, 192, 224, 256):
         th_eff = min(-(-y.n_dst // 32) * 32, th)
@@ -739,14 +801,14 @@ def _auto_tiles_padless(plan: ResizePlan):
             rows_pad = py.n_tiles * th_eff
             cols_pad = px.n_tiles * tw_eff
             flops = 2 * (rows_pad * px.n_tiles * px.band * py.band * n_cy
-                         + rows_pad * cols_pad * px.band * 4)
+                         + rows_pad * cols_pad * px.band * n_dx)
             dma = n_tiles * py.band * px.band + rows_pad * cols_pad
             dma += (min(nvx, px.n_tiles) if x_res else n_tiles) \
-                * 2 * px.band * tw_eff * 2
+                * n_px * px.band * tw_eff * 2
             dma += (min(nvy, py.n_tiles) if y_res else n_tiles) \
                 * n_cy * th_eff * py.band * 2
             est = _padless_vmem(th_eff, tw_eff, py.band, px.band,
-                                n_cy, 2, y_res, x_res, nvy, nvx)
+                                n_cy, n_px, y_res, x_res, nvy, nvx)
             if est > _VMEM_TILE_BUDGET:
                 continue
             cost = max(flops / _MXU_RATE, dma / _DMA_RATE) \
@@ -793,8 +855,20 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
 
     cy_src = vy.uniq if y_res else blocks_y
     cx_src = vx.uniq if x_res else blocks_x
-    cy_planes, cy_scale = _byte_planes(cy_src)
-    cx_planes, cx_scale = _byte_planes(cx_src)
+    cy_planes, cy_scale = _byte_planes(cy_src, axis=-1)
+    # X scheme: single exact plane (2 dots) when taps fit [-256, 256];
+    # balanced Karatsuba (3 dots, planes e/f/g) when the work rows are
+    # int16 (wrap16 plans — lanczos): the w-side balanced split needs
+    # |a+b| <= 256, which only holds for |w| <= 32768.  Non-wrap16 plans
+    # (area/linear) carry unsigned 17-bit work values (up to 255*bias_y),
+    # where a+b reaches ~382 — outside bf16's exact range — so they keep
+    # the hi/lo 4-dot split.
+    x_kara = plan.wrap16 and not _single_plane_ok(cx_src, axis=-2)
+    if x_kara:
+        cx_planes = _kara_planes(cx_src, axis=-2)
+        cx_scale = None
+    else:
+        cx_planes, cx_scale = _byte_planes(cx_src, axis=-2)
     n_cy, n_cx = len(cy_planes), len(cx_planes)
     if _padless_vmem(th, tw, band_h, band_w, n_cy, n_cx, y_res, x_res,
                      len(vy.uniq), len(vx.uniq)) > _VMEM_TILE_BUDGET:
@@ -921,22 +995,41 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         else:
             w = nume
 
-        # ---- X pass: sums = sum_p (hi*256 + lo) @ Cx_p ------------------
+        # ---- X pass ------------------------------------------------------
         if x_res:
             vx_i = variant(g_x, x_int, x_exc)
             cx_vals = [scratch[n_cy * int(y_res) + p][vx_i]
                        for p in range(n_cx)]
         else:
             cx_vals = [r[...] for r in cx_in]
-        w_lo = (w & 255).astype(dot_dt)
-        w_hi = (w >> 8).astype(dot_dt)
-        sums = None
-        for p in range(n_cx):
-            cc = cx_vals[p].astype(dot_dt)
-            hi = jnp.dot(w_hi, cc, preferred_element_type=f32).astype(jnp.int32)
-            lo = jnp.dot(w_lo, cc, preferred_element_type=f32).astype(jnp.int32)
-            part = (hi * 256 + lo) * cx_scale[p]
-            sums = part if sums is None else sums + part
+        if x_kara:
+            # balanced Karatsuba: w = a*256 + b (b in [-128,127]),
+            # sum w*c = 65280*(a@e) - 255*(b@f) + 256*((a+b)@(e+f));
+            # every operand is bf16-exact (|a+b| <= 256), every partial sum
+            # < 2**24 (asserted at plane build) — 3 dots instead of 4.
+            b = ((w + 128) & 255) - 128
+            a = (w - b) >> 8
+            ce, cf, cg = (v.astype(dot_dt) for v in cx_vals)
+            d1 = jnp.dot(a.astype(dot_dt), ce,
+                         preferred_element_type=f32).astype(jnp.int32)
+            d2 = jnp.dot(b.astype(dot_dt), cf,
+                         preferred_element_type=f32).astype(jnp.int32)
+            d3 = jnp.dot((a + b).astype(dot_dt), cg,
+                         preferred_element_type=f32).astype(jnp.int32)
+            sums = d1 * 65280 - d2 * 255 + d3 * 256
+        else:
+            # single exact coef plane: sums = (w_hi@c)*256 + w_lo@c
+            w_lo = (w & 255).astype(dot_dt)
+            w_hi = (w >> 8).astype(dot_dt)
+            sums = None
+            for p in range(n_cx):
+                cc = cx_vals[p].astype(dot_dt)
+                hi = jnp.dot(w_hi, cc,
+                             preferred_element_type=f32).astype(jnp.int32)
+                lo = jnp.dot(w_lo, cc,
+                             preferred_element_type=f32).astype(jnp.int32)
+                part = (hi * 256 + lo) * cx_scale[p]
+                sums = part if sums is None else sums + part
 
         # ---- rounding epilogue ------------------------------------------
         main = (sums + half) >> out_shift

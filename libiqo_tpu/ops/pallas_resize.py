@@ -199,6 +199,68 @@ def _kara_planes(blocks: np.ndarray, axis: int):
                  for p in (e, f, g))
 
 
+def _dot_groups(nz: np.ndarray, grp: int, k_align: int):
+    """Block-banded decomposition of a banded dot: split the output dim
+    into groups of ``grp`` and give each group the aligned sub-window of
+    the contraction dim that covers its nonzero taps.
+
+    ``nz``: (K, out) bool — True where any variant's block has a tap.
+    Returns [(o0, o_len, k0, k_len), ...] with k0 an exact multiple of
+    ``k_align`` and k0 + k_len <= K (K is an align multiple by
+    construction of the band).  The groups partition [0, out); every
+    nonzero tap of group g lies inside its window, so computing each
+    output group against only its window is exact.
+    """
+    K, out = nz.shape
+    groups = []
+    for o0 in range(0, out, grp):
+        o1 = min(o0 + grp, out)
+        rows = np.nonzero(nz[:, o0:o1].any(axis=1))[0]
+        if len(rows) == 0:
+            k0, kl = 0, min(k_align, K)
+        else:
+            k0 = int(rows.min()) // k_align * k_align
+            kl = min(-(-(int(rows.max()) + 1 - k0) // k_align) * k_align,
+                     K - k0)
+        groups.append((o0, o1 - o0, k0, kl))
+    return groups
+
+
+def _pick_groups(blocks: np.ndarray, *, out_is_m: bool, other_dim: int,
+                 grp_choices, k_align: int):
+    """Choose the group size minimizing the ceil-model MXU cost of the
+    banded dot against ``blocks``.
+
+    ``blocks`` is (n_var, out, K) for the Y dot (out_is_m=True: groups
+    split the dot's M dim, cost ~ sum of o_len * ceil(k_len/128) * N_128
+    with other_dim = ceil(N/128)) or (n_var, K, out) for the X dot
+    (out_is_m=False: groups split N, cost ~ sum of M * ceil(k_len/128) *
+    ceil(o_len/128) with other_dim = M).  Returns the best group list or
+    None when no choice beats the monolithic dot by >= 10%.
+    """
+    nz = (blocks != 0).any(axis=0)
+    if out_is_m:
+        nz = nz.T                      # -> (K, out)
+    K, out = nz.shape
+
+    def cost(groups):
+        if out_is_m:
+            return sum(max(8, ol) * (-(-kl // 128)) * other_dim
+                       for (_o0, ol, _k0, kl) in groups)
+        return sum(other_dim * (-(-kl // 128)) * (-(-ol // 128))
+                   for (_o0, ol, _k0, kl) in groups)
+
+    best, best_cost = None, cost([(0, out, 0, K)]) * 0.9
+    for grp in grp_choices:
+        if grp >= out:
+            continue
+        groups = _dot_groups(nz, grp, k_align)
+        c = cost(groups)
+        if c < best_cost:
+            best, best_cost = groups, c
+    return best
+
+
 def _unclipped_coef(ax: AxisPlan, d: int, i: int) -> int:
     """Tap value with OOB clipping undone (zero padding supplies the zeros
     the reference's tap-dropping would)."""
@@ -267,9 +329,9 @@ def _tiles(plan: ResizePlan, th_target: int, tw_target: int):
     return th, tw
 
 
-_MXU_RATE = 48e12      # measured effective bf16 MAC*2/s on this chip
-_STEP_OVERHEAD = 5e-6  # per grid step
-_DMA_RATE = 6e11
+_MXU_RATE = 75e12      # measured effective bf16 flops (MAC*2)/s on this chip
+_STEP_OVERHEAD = 0.3e-6  # per grid step (measured ~0.25us marginal)
+_DMA_RATE = 1.9e11     # measured u8 stream >= 183 GB/s
 
 
 def _est_coef_single(ax: AxisPlan) -> bool:
@@ -758,13 +820,17 @@ _MAX_EXCEPTIONS = 8
 
 
 def _padless_vmem(th, tw, band_h, band_w, n_cy, n_cx,
-                  y_res, x_res, n_var_y, n_var_x) -> int:
+                  y_res, x_res, n_var_y, n_var_x,
+                  x_band_eff: int = 0) -> int:
     est = (2 * band_h * band_w          # u8 band, double buffered
            + 2 * th * tw                # u8 out, double buffered
            + 4 * th * band_w * 3        # i32 work + bf16 byte splits
            + 4 * th * tw * 4)           # f32 dot temps
     est += n_cy * 2 * th * band_h * (n_var_y if y_res else 2)
-    est += n_cx * 2 * band_w * tw * (n_var_x if x_res else 2)
+    # X blocks are pre-sliced to their group windows (x_band_eff per 128
+    # output columns) — only the sub-windows are VMEM-resident
+    xb = min(band_w, x_band_eff) if x_band_eff else band_w
+    est += n_cx * 2 * xb * tw * (n_var_x if x_res else 2)
     return est
 
 
@@ -784,38 +850,60 @@ def _auto_tiles_padless(plan: ResizePlan):
         n_dx, n_px = 3, 3
     else:
         n_dx, n_px = 4, 2
-    best, best_cost = None, float("inf")
-    for th in (96, 128, 160, 192, 224, 256):
+    cands = []
+    w_full = -(-x.n_dst // 128) * 128
+    for th in (32, 64, 96, 128, 160, 192, 224, 256):
         th_eff = min(-(-y.n_dst // 32) * 32, th)
-        for tw in (256, 384, 512):
-            tw_eff = min(-(-x.n_dst // 128) * 128, tw)
+        for tw in sorted({min(w_full, t) for t in (256, 384, 512, w_full)}):
+            tw_eff = tw
             py = _tile_axis_padless(y, th_eff, 32)
             px = _tile_axis_padless(x, tw_eff, 128)
             y_aff = (th_eff * r_sh) % (r_dh * 32) == 0
             x_aff = (tw_eff * r_sw) % (r_dw * 128) == 0
-            nvy = 3 if y_aff else py.n_tiles
-            nvx = 3 if x_aff else px.n_tiles
+            # a single tile along an axis has exactly one window => one
+            # variant and no clamp-shift union growth in the group windows
+            nvy = 1 if py.n_tiles == 1 else (3 if y_aff else py.n_tiles)
+            nvx = 1 if px.n_tiles == 1 else (3 if x_aff else px.n_tiles)
             y_res = y_aff or nvy <= _MAX_RESIDENT_VARS
             x_res = x_aff or nvx <= _MAX_RESIDENT_VARS
             n_tiles = py.n_tiles * px.n_tiles
             rows_pad = py.n_tiles * th_eff
             cols_pad = px.n_tiles * tw_eff
-            flops = 2 * (rows_pad * px.n_tiles * px.band * py.band * n_cy
-                         + rows_pad * cols_pad * px.band * n_dx)
+            # block-banded grouping caps the effective contraction dim at
+            # ~(group * src/dst + taps) ceiled to the MXU's 128 K-chunks
+            # (groups of 32 output rows for Y, 128 output columns for X).
+            # Multi-tile axes pay a union penalty: edge tiles' clamped
+            # windows shift tap positions, and the static group windows
+            # must cover every variant (measured +128..384 on 4K lanczos3
+            # — what makes single-column-tile layouts win).
+            x_union = 256 if px.n_tiles > 1 else 0
+            y_union = 32 if py.n_tiles > 1 else 0
+            y_eff = min(py.band, -(-(32 * r_sh + y.num_coefs * r_dh)
+                                   // (128 * r_dh)) * 128 + y_union)
+            x_eff = min(px.band, -(-(128 * r_sw + x.num_coefs * r_dw)
+                                   // (128 * r_dw)) * 128 + x_union)
+            flops = 2 * (rows_pad * px.n_tiles * px.band * y_eff * n_cy
+                         + rows_pad * cols_pad * x_eff * n_dx)
             dma = n_tiles * py.band * px.band + rows_pad * cols_pad
             dma += (min(nvx, px.n_tiles) if x_res else n_tiles) \
-                * n_px * px.band * tw_eff * 2
+                * n_px * x_eff * tw_eff * 2
             dma += (min(nvy, py.n_tiles) if y_res else n_tiles) \
                 * n_cy * th_eff * py.band * 2
             est = _padless_vmem(th_eff, tw_eff, py.band, px.band,
-                                n_cy, n_px, y_res, x_res, nvy, nvx)
+                                n_cy, n_px, y_res, x_res, nvy, nvx,
+                                x_band_eff=x_eff)
             if est > _VMEM_TILE_BUDGET:
                 continue
             cost = max(flops / _MXU_RATE, dma / _DMA_RATE) \
                 + n_tiles * _STEP_OVERHEAD
-            if cost < best_cost:
-                best, best_cost = (th_eff, tw_eff), cost
-    return best
+            cands.append((cost, th_eff, tw_eff))
+    cands.sort()
+    seen, ranked = set(), []
+    for _c, th_eff, tw_eff in cands:
+        if (th_eff, tw_eff) not in seen:
+            seen.add((th_eff, tw_eff))
+            ranked.append((th_eff, tw_eff))
+    return ranked[:6]
 
 
 def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
@@ -834,10 +922,16 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         th = min(-(-y.n_dst // 32) * 32, -(-th_target // 32) * 32)
         tw = min(-(-x.n_dst // 128) * 128, -(-tw_target // 128) * 128)
     else:
-        picked = _auto_tiles_padless(plan)
-        if picked is None:
-            return None
-        th, tw = picked
+        # the tuner's VMEM model is approximate — walk its ranked
+        # candidates until one actually builds
+        for th_c, tw_c in _auto_tiles_padless(plan):
+            built = _make_padless_fn(plan, interpret=interpret,
+                                     th_target=th_c, tw_target=tw_c,
+                                     grid_order=grid_order,
+                                     force_streamed_y=force_streamed_y)
+            if built is not None:
+                return built
+        return None
     py = _tile_axis_padless(y, th, 32)
     px = _tile_axis_padless(x, tw, 128)
     n_ty, n_tx = py.n_tiles, px.n_tiles
@@ -870,12 +964,44 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     else:
         cx_planes, cx_scale = _byte_planes(cx_src, axis=-2)
     n_cy, n_cx = len(cy_planes), len(cx_planes)
-    if _padless_vmem(th, tw, band_h, band_w, n_cy, n_cx, y_res, x_res,
-                     len(vy.uniq), len(vx.uniq)) > _VMEM_TILE_BUDGET:
-        return None
+
+    # Block-banded group decomposition (_dot_groups): each output group's
+    # dot contracts only over its aligned band sub-window — the dense-band
+    # dots otherwise do ceil(band/128)/ceil(taps/128) times the needed MXU
+    # work (measured 2.3x faster X pass on 4K lanczos3).  Y grouping is
+    # skipped for force_streamed_y builds: sharding substitutes per-device
+    # Y block VALUES whose nonzero taps could fall outside windows computed
+    # from this build's blocks.
+    y_groups = None if force_streamed_y else _pick_groups(
+        cy_src, out_is_m=True, other_dim=-(-band_w // 128),
+        grp_choices=(32, 64, 96), k_align=8)
+    x_groups = _pick_groups(
+        cx_src, out_is_m=False, other_dim=th,
+        grp_choices=(128, 256), k_align=128)
 
     cy_ops = [np.asarray(p) for p in cy_planes]
-    cx_ops = [np.asarray(p) for p in cx_planes]
+    # X operands are pre-sliced to their group windows (plane-major, then
+    # group): VMEM holds only the band sub-windows the dots read — for 2:1
+    # geometries that's ~2.3x less resident coefficient VMEM, which is what
+    # lets the larger (th, tw) tiles fit the budget at 3 Karatsuba planes.
+    xg = x_groups if x_groups is not None else [(0, tw, 0, band_w)]
+    n_xg = len(xg)
+    cx_ops = [np.ascontiguousarray(np.asarray(p)[:, k0:k0 + kl, o0:o0 + ol])
+              for p in cx_planes for (o0, ol, k0, kl) in xg]
+    n_cx_ops = len(cx_ops)
+
+    # VMEM feasibility from the ACTUAL operand shapes: resident blocks sit
+    # whole in scratch; streamed ones are double-buffered per-tile slices
+    est = (2 * band_h * band_w          # u8 band, double buffered
+           + 2 * th * tw                # u8 out, double buffered
+           + 4 * th * band_w * 3        # i32 work + bf16 byte splits
+           + 4 * th * tw * 4)           # f32 dot temps
+    est += sum(int(np.prod(o.shape[(0 if y_res else 1):])) * 2 * (1 if y_res else 2)
+               for o in cy_ops)
+    est += sum(int(np.prod(o.shape[(0 if x_res else 1):])) * 2 * (1 if x_res else 2)
+               for o in cx_ops)
+    if est > _VMEM_TILE_BUDGET:
+        return None
 
     wrap16 = plan.wrap16
     y_bias = y.bias
@@ -900,7 +1026,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     # (XLA:CPU's emulated bf16 matmul corrupts the heap on odd-width
     # operands; CPU f32 dots are exact for all our 8-bit operand bounds)
     dot_dt = jnp.float32 if interpret else jnp.bfloat16
-    n_sc = (n_cy if y_res else 0) + (n_cx if x_res else 0)
+    n_sc = (n_cy if y_res else 0) + (n_cx_ops if x_res else 0)
     y_exc, x_exc = vy.exceptions, vx.exceptions
     y_int, x_int = vy.interior, vx.interior
 
@@ -918,6 +1044,15 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
               and 0 < len(y_btiles) < n_ty and len(y_btiles) <= 4)
     x_cond = (x_has_border and 0 < len(x_btiles) < n_tx
               and len(x_btiles) <= 4)
+    # Single-column-tile alternative: border columns are the leading /
+    # trailing outputs only, so when they fit in 128-wide edge slabs the
+    # divide runs on static lane slices instead of the full tile (the
+    # tile-conditional x_cond trick degenerates when n_tx == 1).
+    bx_cols = np.nonzero(border_x[0])[0]
+    x_slab = (x_has_border and not x_cond and n_tx == 1 and tw >= 384
+              and not ((bx_cols >= 128) & (bx_cols < tw - 128)).any())
+    x_slab_lo = bool((bx_cols < 128).any())
+    x_slab_hi = bool((bx_cols >= tw - 128).any())
 
     if grid_order == "xy":
         grid = (n_tx, n_ty)
@@ -929,10 +1064,10 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     def kernel(*refs):
         band_ref = refs[0]
         cy_in = refs[1:1 + n_cy]
-        cx_in = refs[1 + n_cy:1 + n_cy + n_cx]
+        cx_in = refs[1 + n_cy:1 + n_cy + n_cx_ops]
         dy_ref, by_ref, dx_ref, bx_ref, out_ref = \
-            refs[1 + n_cy + n_cx:1 + n_cy + n_cx + 5]
-        scratch = refs[1 + n_cy + n_cx + 5:]
+            refs[1 + n_cy + n_cx_ops:1 + n_cy + n_cx_ops + 5]
+        scratch = refs[1 + n_cy + n_cx_ops + 5:]
 
         if n_sc:
             sem = scratch[n_sc]
@@ -962,12 +1097,29 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             cy_vals = [scratch[p][vy_i] for p in range(n_cy)]
         else:
             cy_vals = [r[...] for r in cy_in]
-        nume = None
-        for p in range(n_cy):
-            d = jnp.dot(cy_vals[p].astype(dot_dt), band_bf,
+        if y_groups is not None:
+            # block-banded: output-row group g contracts only over its
+            # band sub-window [k0, k0+kl)
+            parts = []
+            for (o0, ol, k0, kl) in y_groups:
+                acc = None
+                for p in range(n_cy):
+                    d = jnp.dot(
+                        cy_vals[p][o0:o0 + ol, k0:k0 + kl].astype(dot_dt),
+                        band_bf[k0:k0 + kl, :],
                         preferred_element_type=f32).astype(jnp.int32)
-            d = d * cy_scale[p]
-            nume = d if nume is None else nume + d
+                    d = d * cy_scale[p]
+                    acc = d if acc is None else acc + d
+                parts.append(acc)
+            nume = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                    else parts[0])
+        else:
+            nume = None
+            for p in range(n_cy):
+                d = jnp.dot(cy_vals[p].astype(dot_dt), band_bf,
+                            preferred_element_type=f32).astype(jnp.int32)
+                d = d * cy_scale[p]
+                nume = d if nume is None else nume + d
         if wrap16:
             w = ((nume + 32768) & 65535) - 32768
             if y_has_border and y_cond:
@@ -996,10 +1148,12 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             w = nume
 
         # ---- X pass ------------------------------------------------------
+        # operand index for plane p, group gi (operands pre-sliced to the
+        # group window, plane-major layout)
         if x_res:
             vx_i = variant(g_x, x_int, x_exc)
-            cx_vals = [scratch[n_cy * int(y_res) + p][vx_i]
-                       for p in range(n_cx)]
+            cx_vals = [scratch[n_cy * int(y_res) + j][vx_i]
+                       for j in range(n_cx_ops)]
         else:
             cx_vals = [r[...] for r in cx_in]
         if x_kara:
@@ -1007,32 +1161,67 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             # sum w*c = 65280*(a@e) - 255*(b@f) + 256*((a+b)@(e+f));
             # every operand is bf16-exact (|a+b| <= 256), every partial sum
             # < 2**24 (asserted at plane build) — 3 dots instead of 4.
+            # Block-banded when x_groups: each output-column group
+            # contracts only over its band sub-window.
             b = ((w + 128) & 255) - 128
             a = (w - b) >> 8
-            ce, cf, cg = (v.astype(dot_dt) for v in cx_vals)
-            d1 = jnp.dot(a.astype(dot_dt), ce,
-                         preferred_element_type=f32).astype(jnp.int32)
-            d2 = jnp.dot(b.astype(dot_dt), cf,
-                         preferred_element_type=f32).astype(jnp.int32)
-            d3 = jnp.dot((a + b).astype(dot_dt), cg,
-                         preferred_element_type=f32).astype(jnp.int32)
-            sums = d1 * 65280 - d2 * 255 + d3 * 256
+            ab, bb, gb = (a.astype(dot_dt), b.astype(dot_dt),
+                          (a + b).astype(dot_dt))
+            parts = []
+            for gi, (_o0, _ol, k0, kl) in enumerate(xg):
+                ce = cx_vals[0 * n_xg + gi].astype(dot_dt)
+                cf = cx_vals[1 * n_xg + gi].astype(dot_dt)
+                cg = cx_vals[2 * n_xg + gi].astype(dot_dt)
+                d1 = jnp.dot(ab[:, k0:k0 + kl], ce,
+                             preferred_element_type=f32).astype(jnp.int32)
+                d2 = jnp.dot(bb[:, k0:k0 + kl], cf,
+                             preferred_element_type=f32).astype(jnp.int32)
+                d3 = jnp.dot(gb[:, k0:k0 + kl], cg,
+                             preferred_element_type=f32).astype(jnp.int32)
+                parts.append(d1 * 65280 - d2 * 255 + d3 * 256)
+            sums = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                    else parts[0])
         else:
             # single exact coef plane: sums = (w_hi@c)*256 + w_lo@c
             w_lo = (w & 255).astype(dot_dt)
             w_hi = (w >> 8).astype(dot_dt)
-            sums = None
-            for p in range(n_cx):
-                cc = cx_vals[p].astype(dot_dt)
-                hi = jnp.dot(w_hi, cc,
-                             preferred_element_type=f32).astype(jnp.int32)
-                lo = jnp.dot(w_lo, cc,
-                             preferred_element_type=f32).astype(jnp.int32)
-                part = (hi * 256 + lo) * cx_scale[p]
-                sums = part if sums is None else sums + part
+            parts = []
+            for gi, (_o0, _ol, k0, kl) in enumerate(xg):
+                s = None
+                for p in range(n_cx):
+                    cc = cx_vals[p * n_xg + gi].astype(dot_dt)
+                    hi = jnp.dot(w_hi[:, k0:k0 + kl], cc,
+                                 preferred_element_type=f32).astype(jnp.int32)
+                    lo = jnp.dot(w_lo[:, k0:k0 + kl], cc,
+                                 preferred_element_type=f32).astype(jnp.int32)
+                    part = (hi * 256 + lo) * cx_scale[p]
+                    s = part if s is None else s + part
+                parts.append(s)
+            sums = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                    else parts[0])
 
         # ---- rounding epilogue ------------------------------------------
         main = (sums + half) >> out_shift
+        if x_slab:
+            # border divide on the static 128-wide edge slabs only
+            dxv = dx_ref[...]
+            bxv = bx_ref[...]
+
+            def seg(a, b, with_div):
+                m = main[:, a:b]
+                if with_div:
+                    bval = jax.lax.div(
+                        sums[:, a:b] + half,
+                        jnp.broadcast_to(dxv[:, a:b] * y_bias, m.shape))
+                    m = jnp.where(bxv[:, a:b] > 0, bval, m)
+                return m
+
+            v = jnp.concatenate(
+                [seg(0, 128, x_slab_lo), seg(128, tw - 128, False),
+                 seg(tw - 128, tw, x_slab_hi)], axis=1)
+            v = ((v + 32768) & 65535) - 32768
+            out_ref[...] = jnp.clip(v, 0, 255).astype(jnp.uint8)
+            return
         if x_has_border and x_cond:
             vm = ((main + 32768) & 65535) - 32768
             out_ref[...] = jnp.clip(vm, 0, 255).astype(jnp.uint8)
@@ -1087,7 +1276,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         pl.BlockSpec((E(band_h), E(band_w)), band_map,
                      memory_space=pltpu.VMEM),
         *[_coef_spec(y_res, cy_ops, i, g_y) for i in range(n_cy)],
-        *[_coef_spec(x_res, cx_ops, i, g_x) for i in range(n_cx)],
+        *[_coef_spec(x_res, cx_ops, i, g_x) for i in range(n_cx_ops)],
         pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]), memory_space=pltpu.VMEM),
@@ -1130,8 +1319,9 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         return out.reshape(batch_shape + out.shape[-2:])
 
     operands = (*cy_ops, *cx_ops, deno_y, border_y, deno_x, border_x)
-    # layout metadata for shard_map callers (parallel/sharding.py)
-    fn.n_cy, fn.n_cx = n_cy, n_cx
+    # layout metadata for shard_map callers (parallel/sharding.py):
+    # n_cy/n_cx count OPERAND ARRAYS (X planes are pre-sliced per group)
+    fn.n_cy, fn.n_cx = n_cy, n_cx_ops
     fn.tiles = (th, tw)
     fn.py, fn.px = py, px
     return fn, operands

@@ -896,6 +896,11 @@ def _auto_tiles_padless(plan: ResizePlan):
                 continue
             cost = max(flops / _MXU_RATE, dma / _DMA_RATE) \
                 + n_tiles * _STEP_OVERHEAD
+            # Y-border renorm divide: runs on the 2 edge tiles' full
+            # (th, band_w) work — VPU int32 divide is slow enough
+            # (~1.6e10/s measured) that tall tiles pay measurably here
+            if plan.wrap16 and bool(y.is_border.any()) and py.n_tiles > 2:
+                cost += 2 * th_eff * px.band / 1.6e10
             cands.append((cost, th_eff, tw_eff))
     cands.sort()
     seen, ranked = set(), []
@@ -1054,12 +1059,17 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     x_slab_lo = bool((bx_cols < 128).any())
     x_slab_hi = bool((bx_cols >= tw - 128).any())
 
+    # The batch rides as the OUTERMOST grid dimension of one pallas_call
+    # (not jax.vmap): a vmapped call remaps the kernel's program_ids per
+    # batch element, so the one-time resident-slab DMA below would re-run
+    # for EVERY frame in the batch.  One launch = one slab copy, and the
+    # whole batch shares one pipeline ramp.
     if grid_order == "xy":
-        grid = (n_tx, n_ty)
-        g_y, g_x = 1, 0       # program_id dims for the row / col tile index
+        tile_grid = (n_tx, n_ty)
+        g_y, g_x = 2, 1       # program_id dims for the row / col tile index
     else:
-        grid = (n_ty, n_tx)
-        g_y, g_x = 0, 1
+        tile_grid = (n_ty, n_tx)
+        g_y, g_x = 1, 2
 
     def kernel(*refs):
         band_ref = refs[0]
@@ -1071,7 +1081,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
 
         if n_sc:
             sem = scratch[n_sc]
-            first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+            first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                     & (pl.program_id(2) == 0))
 
             @pl.when(first)
             def _():
@@ -1272,8 +1283,12 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                             lambda *g, _d=idx_dim: (g[_d], 0, 0),
                             memory_space=pltpu.VMEM)
 
+    def band_map3(*g):
+        oy, ox = band_map(*g)
+        return (g[0], oy, ox)
+
     specs = [
-        pl.BlockSpec((E(band_h), E(band_w)), band_map,
+        pl.BlockSpec((None, E(band_h), E(band_w)), band_map3,
                      memory_space=pltpu.VMEM),
         *[_coef_spec(y_res, cy_ops, i, g_y) for i in range(n_cy)],
         *[_coef_spec(x_res, cx_ops, i, g_x) for i in range(n_cx_ops)],
@@ -1282,7 +1297,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]), memory_space=pltpu.VMEM),
     ]
-    out_spec = pl.BlockSpec((th, tw), lambda *g: (g[g_y], g[g_x]),
+    out_spec = pl.BlockSpec((None, th, tw),
+                            lambda *g: (g[0], g[g_y], g[g_x]),
                             memory_space=pltpu.VMEM)
 
     scratch_shapes = []
@@ -1298,24 +1314,30 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         # work staging for the conditional Y-border epilogue (always last)
         scratch_shapes.append(pltpu.VMEM((th, band_w), jnp.int32))
 
-    call = pl.pallas_call(
-        kernel, grid=grid,
-        out_shape=jax.ShapeDtypeStruct((y.n_dst, x.n_dst), jnp.uint8),
-        in_specs=specs, out_specs=out_spec, interpret=interpret,
-        scratch_shapes=scratch_shapes,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )
+    calls = {}
+
+    def get_call(nb: int):
+        if nb not in calls:
+            calls[nb] = pl.pallas_call(
+                kernel, grid=(nb,) + tile_grid,
+                out_shape=jax.ShapeDtypeStruct((nb, y.n_dst, x.n_dst),
+                                               jnp.uint8),
+                in_specs=specs, out_specs=out_spec, interpret=interpret,
+                scratch_shapes=scratch_shapes,
+                compiler_params=None if interpret else pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",) * 3,
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
+            )
+        return calls[nb]
 
     def fn(*args):
         *ops, src = args
         if src.ndim == 2:
-            return call(src, *ops)
+            return get_call(1)(src[None], *ops)[0]
         batch_shape = src.shape[:-2]
         flat = src.reshape((-1,) + src.shape[-2:])
-        out = jax.vmap(lambda im: call(im, *ops))(flat)
+        out = get_call(flat.shape[0])(flat, *ops)
         return out.reshape(batch_shape + out.shape[-2:])
 
     operands = (*cy_ops, *cx_ops, deno_y, border_y, deno_x, border_x)

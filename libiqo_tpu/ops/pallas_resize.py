@@ -776,7 +776,7 @@ def _build_blocks_padless(ax: AxisPlan, p: _PAxis, transpose: bool) -> np.ndarra
     """
     n, tile, band = p.n_tiles, p.tile, p.band
     shape = (n, band, tile) if transpose else (n, tile, band)
-    blocks = np.zeros(shape, np.int64)
+    blocks = np.zeros(shape, np.int32)   # Q14/Q15 taps; int32 ample
     for t in range(n):
         off = int(p.off[t])
         d1 = min((t + 1) * tile, ax.n_dst)
@@ -807,6 +807,8 @@ class _Variants:
 
 
 def _dedup_blocks(blocks: np.ndarray) -> _Variants:
+    if blocks.shape[0] == 1:   # single tile — np.unique would sort ~60 MB
+        return _Variants(blocks, 0, ())
     uniq, inv = np.unique(blocks, axis=0, return_inverse=True)
     inv = inv.ravel()
     interior = int(np.bincount(inv).argmax())
@@ -955,20 +957,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     cy_src = vy.uniq if y_res else blocks_y
     cx_src = vx.uniq if x_res else blocks_x
     cy_planes, cy_scale = _byte_planes(cy_src, axis=-1)
-    # X scheme: single exact plane (2 dots) when taps fit [-256, 256];
-    # balanced Karatsuba (3 dots, planes e/f/g) when the work rows are
-    # int16 (wrap16 plans — lanczos): the w-side balanced split needs
-    # |a+b| <= 256, which only holds for |w| <= 32768.  Non-wrap16 plans
-    # (area/linear) carry unsigned 17-bit work values (up to 255*bias_y),
-    # where a+b reaches ~382 — outside bf16's exact range — so they keep
-    # the hi/lo 4-dot split.
-    x_kara = plan.wrap16 and not _single_plane_ok(cx_src, axis=-2)
-    if x_kara:
-        cx_planes = _kara_planes(cx_src, axis=-2)
-        cx_scale = None
-    else:
-        cx_planes, cx_scale = _byte_planes(cx_src, axis=-2)
-    n_cy, n_cx = len(cy_planes), len(cx_planes)
+    n_cy = len(cy_planes)
 
     # Block-banded group decomposition (_dot_groups): each output group's
     # dot contracts only over its aligned band sub-window — the dense-band
@@ -986,13 +975,43 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
 
     cy_ops = [np.asarray(p) for p in cy_planes]
     # X operands are pre-sliced to their group windows (plane-major, then
-    # group): VMEM holds only the band sub-windows the dots read — for 2:1
-    # geometries that's ~2.3x less resident coefficient VMEM, which is what
-    # lets the larger (th, tw) tiles fit the budget at 3 Karatsuba planes.
+    # group) BEFORE the exact-plane split: VMEM holds only the band
+    # sub-windows the dots read (~2.3x less resident coefficient VMEM at
+    # 2:1 — what lets large tiles fit the budget at 3 Karatsuba planes),
+    # and the plane split touches slab-sized arrays instead of the full
+    # dense block (construction time).  Every output's taps lie inside its
+    # slab, so per-slab plane values and exactness bounds equal the
+    # full-block ones.
     xg = x_groups if x_groups is not None else [(0, tw, 0, band_w)]
     n_xg = len(xg)
-    cx_ops = [np.ascontiguousarray(np.asarray(p)[:, k0:k0 + kl, o0:o0 + ol])
-              for p in cx_planes for (o0, ol, k0, kl) in xg]
+    slabs = [np.ascontiguousarray(cx_src[:, k0:k0 + kl, o0:o0 + ol])
+             for (o0, ol, k0, kl) in xg]
+    # X scheme: single exact plane (2 dots) when taps fit [-256, 256];
+    # balanced Karatsuba (3 dots, planes e/f/g) when the work rows are
+    # int16 (wrap16 plans — lanczos): the w-side balanced split needs
+    # |a+b| <= 256, which only holds for |w| <= 32768.  Non-wrap16 plans
+    # (area/linear) carry unsigned 17-bit work values (up to 255*bias_y),
+    # where a+b reaches ~382 — outside bf16's exact range — so they keep
+    # the hi/lo 4-dot split.  The scheme is uniform across slabs.
+    x_kara = plan.wrap16 and not all(_single_plane_ok(s, axis=-2)
+                                     for s in slabs)
+    if x_kara:
+        slab_planes = [_kara_planes(s, axis=-2) for s in slabs]
+        cx_scale = None
+    else:
+        splits = [_byte_planes(s, axis=-2) for s in slabs]
+        # a uniform scheme needs every slab split the same way
+        if any(len(pl_) != len(splits[0][0]) for pl_, _sc in splits):
+            splits = [((  # force hi/lo on all slabs
+                (s >> 8).astype(np.float32).astype(jnp.bfloat16),
+                (s & 255).astype(np.float32).astype(jnp.bfloat16)),
+                (256, 1)) for s in slabs]
+        slab_planes = [pl_ for pl_, _sc in splits]
+        cx_scale = splits[0][1]
+    n_cx = len(slab_planes[0])
+    # plane-major, then group: operand index = p * n_xg + g
+    cx_ops = [np.asarray(slab_planes[g][p])
+              for p in range(n_cx) for g in range(n_xg)]
     n_cx_ops = len(cx_ops)
 
     # VMEM feasibility from the ACTUAL operand shapes: resident blocks sit

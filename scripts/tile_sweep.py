@@ -41,8 +41,9 @@ def main() -> None:
     gold = numpy_ref.resize_u8(plan, np.asarray(src[0]))
 
     results = []
-    for th in (96, 128, 160, 192, 256):
-        for tw in (128, 256, 384, 512):
+    w_full = -(-plan.x.n_dst // 128) * 128
+    for th in (32, 64, 96, 128, 160, 192, 256):
+        for tw in sorted({min(w_full, t) for t in (128, 256, 384, 512, w_full)}):
             try:
                 built = pr._make_padless_fn(plan, th_target=th, tw_target=tw)
             except Exception as e:  # noqa: BLE001

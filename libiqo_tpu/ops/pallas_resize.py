@@ -971,7 +971,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         grp_choices=(32, 64, 96), k_align=8)
     x_groups = _pick_groups(
         cx_src, out_is_m=False, other_dim=th,
-        grp_choices=(128, 256), k_align=128)
+        grp_choices=(128, 256), k_align=64)
 
     cy_ops = [np.asarray(p) for p in cy_planes]
     # X operands are pre-sliced to their group windows (plane-major, then

@@ -118,3 +118,58 @@ def test_compiled_cache_lru_bound():
     finally:
         api._COMPILED_CACHE_MAX = old_max
         api.clear_compiled_cache()
+
+
+@pytest.mark.parametrize("case", GEOMS)
+def test_dot_group_windows_cover_and_partition(case):
+    """Block-banded group invariants: groups partition the output dim,
+    k-windows are align-multiples inside [0, K), and every nonzero tap of
+    a group's outputs lies inside its window (the exactness condition:
+    contracting only over the window must equal the full dot)."""
+    alg, sw, sh, dw, dh, kw = case
+    plan = build_plan(alg, sw, sh, dw, dh, **kw)
+    for ax, tile, align, k_align, transpose in (
+            (plan.y, 128, 32, 8, False), (plan.x, 256, 128, 64, True)):
+        p = pr._tile_axis_padless(ax, tile, align)
+        blocks = pr._build_blocks_padless(ax, p, transpose=transpose)
+        nz = (blocks != 0).any(axis=0)
+        if not transpose:
+            nz = nz.T                          # -> (K, out)
+        for grp in (64, 128):
+            groups = pr._dot_groups(nz, grp, k_align)
+            # partition of [0, out)
+            assert [g[0] for g in groups] == list(range(0, nz.shape[1], grp))
+            assert sum(g[1] for g in groups) == nz.shape[1]
+            for (o0, ol, k0, kl) in groups:
+                assert k0 % k_align == 0 and k0 >= 0
+                assert k0 + kl <= nz.shape[0]
+                rows = np.nonzero(nz[:, o0:o0 + ol].any(axis=1))[0]
+                if rows.size:
+                    assert k0 <= rows.min() and rows.max() < k0 + kl
+
+
+def test_grouped_dot_equals_monolithic():
+    """Computing each output group against only its k-window reproduces
+    the full banded matmul exactly (random banded matrix, int values)."""
+    rng = np.random.default_rng(3)
+    K, out, taps = 384, 256, 9
+    C = np.zeros((K, out), np.int64)
+    starts = np.minimum(rng.integers(0, K - taps, out),
+                        np.maximum(0, np.arange(out) * K // out - 4))
+    for d in range(out):
+        C[starts[d]:starts[d] + taps, d] = rng.integers(-100, 100, taps)
+    w = rng.integers(-1000, 1000, (17, K))
+    full = w @ C
+    groups = pr._dot_groups(C != 0, 64, 16)
+    got = np.concatenate(
+        [w[:, k0:k0 + kl] @ C[k0:k0 + kl, o0:o0 + ol]
+         for (o0, ol, k0, kl) in groups], axis=1)
+    np.testing.assert_array_equal(got, full)
+
+
+def test_pick_groups_declines_when_band_is_tight():
+    """When the monolithic contraction is already one MXU K-chunk, no
+    grouping can win and _pick_groups returns None."""
+    nz = np.ones((128, 512), bool)
+    assert pr._pick_groups(nz[None] * 1, out_is_m=False, other_dim=32,
+                           grp_choices=(128, 256), k_align=64) is None

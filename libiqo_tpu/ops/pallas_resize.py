@@ -704,6 +704,7 @@ class _PAxis:
     off: np.ndarray          # (n_tiles,) actual window offsets, >= 0
     clamp_hi: int = -1       # >= 0: off = max(0, min(clamp_hi, base+t*step))
     #                          (lane axis in-bounds clamp); -1: max only
+    pad: int = 0             # source zero-padding (see _tile_axis_padless)
 
 
 def _tile_axis_padless(ax: AxisPlan, tile: int, align: int) -> _PAxis:
@@ -722,12 +723,23 @@ def _tile_axis_padless(ax: AxisPlan, tile: int, align: int) -> _PAxis:
       128 lane) or equal the full array dim.  In-bounds clamping needs the
       uncovered tail ``n_src - band`` to stay an offset-align multiple, so
       we pick ``band ≡ n_src (mod align)``; when that band can't satisfy
-      the length divisor (n_src % 8 != 0 sublane / n_src % 128 != 0 lane),
-      one full-length window is the fallback.
+      the length divisor (n_src % 8 != 0 sublane / n_src % 128 != 0 lane)
+      the axis is zero-PADDED up to the divisor (``pad`` <= 7 rows / 127
+      cols; the wrapper pads the source per call — a small copy, vs the
+      full-length-window fallback blowing the VMEM band for every tile).
+      Padded positions hold zeros and every tap beyond the true n_src is
+      already clipped to zero in the plan, so results are unchanged.
+      Single-tile axes skip the pad: one full-length window is legal and
+      clamp-free as-is.
     """
     n_tiles = -(-ax.n_dst // tile)
     start = ax.start.astype(np.int64)
     n_src = ax.n_src
+    len_div0 = 8 if align == 32 else 128
+    pad = 0
+    if n_tiles > 1 and (n_src % align) % len_div0 != 0:
+        pad = -n_src % len_div0
+        n_src += pad
     # in-range source span per output, then per tile
     lo_d = np.clip(start, 0, n_src)
     hi_d = np.clip(start + ax.num_coefs, 0, n_src)
@@ -759,12 +771,12 @@ def _tile_axis_padless(ax: AxisPlan, tile: int, align: int) -> _PAxis:
             need = fit(int((hi - off).max()))
             if need <= band:
                 return _PAxis(tile, n_tiles, step, base, band, off,
-                              clamp_hi=hi_bound)
+                              clamp_hi=hi_bound, pad=pad)
             band = need
     # full-length window (offsets all 0): always in bounds; length == n_src
     # satisfies the "equal to the array dim" escape of the divisibility rule
     return _PAxis(tile, n_tiles, step, base, n_src,
-                  np.zeros(n_tiles, np.int64), clamp_hi=0)
+                  np.zeros(n_tiles, np.int64), clamp_hi=0, pad=pad)
 
 
 def _build_blocks_padless(ax: AxisPlan, p: _PAxis, transpose: bool) -> np.ndarray:
@@ -1350,8 +1362,15 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             )
         return calls[nb]
 
+    pad_h, pad_w = py.pad, px.pad
+
     def fn(*args):
         *ops, src = args
+        if pad_h or pad_w:
+            # zero-pad to the window divisor (see _tile_axis_padless);
+            # padded positions pair only with zero-clipped taps
+            src = jnp.pad(src, [(0, 0)] * (src.ndim - 2)
+                          + [(0, pad_h), (0, pad_w)])
         if src.ndim == 2:
             return get_call(1)(src[None], *ops)[0]
         batch_shape = src.shape[:-2]

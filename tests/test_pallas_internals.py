@@ -33,10 +33,12 @@ def test_padless_windows_in_bounds_and_covering(case):
     plan = build_plan(alg, sw, sh, dw, dh, **kw)
     for ax, tile, align, ldiv in ((plan.y, 128, 32, 8), (plan.x, 256, 128, 128)):
         p = pr._tile_axis_padless(ax, tile, align)
+        n_eff = ax.n_src + p.pad       # wrapper zero-pads the source
+        assert 0 <= p.pad < ldiv
         assert (p.off >= 0).all()
-        assert (p.off + p.band <= ax.n_src).all(), (alg, ax.n_src, p)
+        assert (p.off + p.band <= n_eff).all(), (alg, ax.n_src, p)
         assert (p.off % align == 0).all()
-        assert p.band % ldiv == 0 or p.band == ax.n_src
+        assert p.band % ldiv == 0 or p.band == n_eff
         # kernel index_map must reproduce the host offsets exactly
         ideal = p.base + p.step * np.arange(p.n_tiles)
         if p.clamp_hi >= 0:

@@ -789,25 +789,23 @@ def _build_blocks_padless(ax: AxisPlan, p: _PAxis, transpose: bool) -> np.ndarra
     n, tile, band = p.n_tiles, p.tile, p.band
     shape = (n, band, tile) if transpose else (n, tile, band)
     blocks = np.zeros(shape, np.int32)   # Q14/Q15 taps; int32 ample
-    for t in range(n):
-        off = int(p.off[t])
-        d1 = min((t + 1) * tile, ax.n_dst)
-        for k in range(d1 - t * tile):
-            d = t * tile + k
-            s0 = int(ax.start[d]) - off
-            for i in range(ax.num_coefs):
-                c = int(ax.coef[d, i])
-                if c == 0:
-                    continue
-                j = s0 + i
-                if not 0 <= j < band:
-                    raise AssertionError(
-                        f"padless window misses tap: tile {t} d {d} j {j} "
-                        f"band {band}")
-                if transpose:
-                    blocks[t, j, k] += c
-                else:
-                    blocks[t, k, j] += c
+    d_all = np.arange(ax.n_dst)
+    t_idx = d_all // tile
+    k_idx = d_all % tile
+    base_j = ax.start.astype(np.int64) - p.off[t_idx]
+    for i in range(ax.num_coefs):
+        c = ax.coef[:, i].astype(np.int32)
+        sel = c != 0
+        j = base_j + i
+        if ((j < 0) | (j >= band))[sel].any():
+            bad = int(np.nonzero(sel & ((j < 0) | (j >= band)))[0][0])
+            raise AssertionError(
+                f"padless window misses tap: tile {t_idx[bad]} d {bad} "
+                f"j {j[bad]} band {band}")
+        if transpose:
+            np.add.at(blocks, (t_idx[sel], j[sel], k_idx[sel]), c[sel])
+        else:
+            np.add.at(blocks, (t_idx[sel], k_idx[sel], j[sel]), c[sel])
     return blocks
 
 

@@ -966,7 +966,19 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
 
     cy_src = vy.uniq if y_res else blocks_y
     cx_src = vx.uniq if x_res else blocks_x
-    cy_planes, cy_scale = _byte_planes(cy_src, axis=-1)
+    # Y scheme: when the taps fit s8 (lanczos Q6: |tap| <= 64ish), the Y
+    # dot runs as s8 x s8 -> i32 on the band rebased to signed range
+    # ((u8 ^ 0x80) reinterpret == v - 128; the -128 folds into a per-row
+    # correction 128 * sum(taps), exact in int32) — no u8->bf16 band
+    # conversion, a slightly faster MXU rate, and exactness independent of
+    # f32 (measured ~7 us/frame on 4K luma).  Disabled for
+    # force_streamed_y: sharding substitutes bf16 byte-plane values.
+    s8_y = (not force_streamed_y
+            and int(cy_src.min()) >= -128 and int(cy_src.max()) <= 127)
+    if s8_y:
+        cy_planes, cy_scale = (cy_src.astype(np.int8),), (1,)
+    else:
+        cy_planes, cy_scale = _byte_planes(cy_src, axis=-1)
     n_cy = len(cy_planes)
 
     # Block-banded group decomposition (_dot_groups): each output group's
@@ -975,8 +987,10 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     # work (measured 2.3x faster X pass on 4K lanczos3).  Y grouping is
     # skipped for force_streamed_y builds: sharding substitutes per-device
     # Y block VALUES whose nonzero taps could fall outside windows computed
-    # from this build's blocks.
-    y_groups = None if force_streamed_y else _pick_groups(
+    # from this build's blocks — and for s8_y (i8 sub-window slicing risks
+    # Mosaic relayouts; the s8 plans auto-tune to short tiles where
+    # grouping declines anyway).
+    y_groups = None if (force_streamed_y or s8_y) else _pick_groups(
         cy_src, out_is_m=True, other_dim=-(-band_w // 128),
         grp_choices=(32, 64, 96), k_align=8)
     x_groups = _pick_groups(
@@ -1049,6 +1063,11 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     deno_y[: y.n_dst, 0] = np.where(y.deno == 0, 1, y.deno)
     border_y = np.zeros((n_rows_pad, 1), np.int32)
     border_y[: y.n_dst, 0] = y.is_border.astype(np.int32)
+    # s8 Y rebase correction: +128 * (row tap sum), exact i32; rows past
+    # n_dst are masked on store so 0 is fine (plan.coef carries clipped
+    # taps, matching the blocks)
+    corr_y = np.zeros((n_rows_pad, 1), np.int32)
+    corr_y[: y.n_dst, 0] = 128 * y.coef.astype(np.int64).sum(axis=1)
     n_cols_pad = n_tx * tw
     deno_x = np.ones((1, n_cols_pad), np.int32)
     deno_x[0, : x.n_dst] = np.where(x.deno == 0, 1, x.deno)
@@ -1104,9 +1123,14 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         band_ref = refs[0]
         cy_in = refs[1:1 + n_cy]
         cx_in = refs[1 + n_cy:1 + n_cy + n_cx_ops]
-        dy_ref, by_ref, dx_ref, bx_ref, out_ref = \
-            refs[1 + n_cy + n_cx_ops:1 + n_cy + n_cx_ops + 5]
-        scratch = refs[1 + n_cy + n_cx_ops + 5:]
+        k0_ = 1 + n_cy + n_cx_ops
+        if s8_y:
+            dy_ref, by_ref, cr_ref, dx_ref, bx_ref, out_ref = \
+                refs[k0_:k0_ + 6]
+            scratch = refs[k0_ + 6:]
+        else:
+            dy_ref, by_ref, dx_ref, bx_ref, out_ref = refs[k0_:k0_ + 5]
+            scratch = refs[k0_ + 5:]
 
         if n_sc:
             sem = scratch[n_sc]
@@ -1129,7 +1153,12 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                 v = jnp.where(t == tt, jnp.int32(vv), v)
             return v
 
-        band_bf = band_ref[...].astype(jnp.int32).astype(dot_dt)
+        if s8_y:
+            # rebase u8 -> s8 ((v ^ 0x80) reinterpret == v - 128); the
+            # -128 bias is undone by cr_ref below, exactly, in int32
+            band_bf = (band_ref[...] ^ jnp.uint8(0x80)).astype(jnp.int8)
+        else:
+            band_bf = band_ref[...].astype(jnp.int32).astype(dot_dt)
 
         # ---- Y pass: work = sum_p Cy_p @ band ---------------------------
         if y_res:
@@ -1137,7 +1166,10 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             cy_vals = [scratch[p][vy_i] for p in range(n_cy)]
         else:
             cy_vals = [r[...] for r in cy_in]
-        if y_groups is not None:
+        if s8_y:
+            nume = jnp.dot(cy_vals[0], band_bf,
+                           preferred_element_type=jnp.int32) + cr_ref[...]
+        elif y_groups is not None:
             # block-banded: output-row group g contracts only over its
             # band sub-window [k0, k0+kl)
             parts = []
@@ -1323,6 +1355,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         *[_coef_spec(x_res, cx_ops, i, g_x) for i in range(n_cx_ops)],
         pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0), memory_space=pltpu.VMEM),
+        *([pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0),
+                        memory_space=pltpu.VMEM)] if s8_y else []),
         pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]), memory_space=pltpu.VMEM),
     ]
@@ -1333,7 +1367,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     scratch_shapes = []
     if n_sc:
         if y_res:
-            scratch_shapes += [pltpu.VMEM(o.shape, jnp.bfloat16)
+            scratch_shapes += [pltpu.VMEM(o.shape,
+                                          jnp.int8 if s8_y else jnp.bfloat16)
                                for o in cy_ops]
         if x_res:
             scratch_shapes += [pltpu.VMEM(o.shape, jnp.bfloat16)
@@ -1376,7 +1411,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         out = get_call(flat.shape[0])(flat, *ops)
         return out.reshape(batch_shape + out.shape[-2:])
 
-    operands = (*cy_ops, *cx_ops, deno_y, border_y, deno_x, border_x)
+    operands = (*cy_ops, *cx_ops, deno_y, border_y,
+                *((corr_y,) if s8_y else ()), deno_x, border_x)
     # layout metadata for shard_map callers (parallel/sharding.py):
     # n_cy/n_cx count OPERAND ARRAYS (X planes are pre-sliced per group)
     fn.n_cy, fn.n_cx = n_cy, n_cx_ops

@@ -1010,16 +1010,31 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     n_xg = len(xg)
     slabs = [np.ascontiguousarray(cx_src[:, k0:k0 + kl, o0:o0 + ol])
              for (o0, ol, k0, kl) in xg]
-    # X scheme: single exact plane (2 dots) when taps fit [-256, 256];
-    # balanced Karatsuba (3 dots, planes e/f/g) when the work rows are
-    # int16 (wrap16 plans — lanczos): the w-side balanced split needs
-    # |a+b| <= 256, which only holds for |w| <= 32768.  Non-wrap16 plans
-    # (area/linear) carry unsigned 17-bit work values (up to 255*bias_y),
-    # where a+b reaches ~382 — outside bf16's exact range — so they keep
-    # the hi/lo 4-dot split.  The scheme is uniform across slabs.
-    x_kara = plan.wrap16 and not all(_single_plane_ok(s, axis=-2)
-                                     for s in slabs)
-    if x_kara:
+    # X scheme, in preference order (uniform across slabs):
+    # * s8 4-dot (wrap16 plans whose taps split into s8 planes — lanczos
+    #   Q14 always does): w = 256a + b and c = 256e + f with a,b,e,f all
+    #   s8 balanced; sums = 65536(a@e) + 256(a@f + b@e) + b@f, exact in
+    #   int32 (i32 wraps == the C accumulator).  Measured 1.3x faster
+    #   than Karatsuba-bf16 (cheaper casts + s8 MXU rate) and needs no
+    #   f32 exactness bounds at all.
+    # * single exact bf16 plane (2 dots) when taps fit [-256, 256];
+    # * balanced Karatsuba bf16 (3 dots; wrap16 only: the w-side balanced
+    #   split needs |a+b| <= 256 ⇔ |w| <= 32768);
+    # * hi/lo bf16 4-dot split otherwise (area/linear 16-bit work rows).
+    x_s8 = (plan.wrap16
+            and int(cx_src.min()) >= -32768 and int(cx_src.max()) <= 32639
+            and not all(_single_plane_ok(s, axis=-2) for s in slabs))
+    x_kara = (not x_s8 and plan.wrap16
+              and not all(_single_plane_ok(s, axis=-2) for s in slabs))
+    if x_s8:
+        def s8_split(s):
+            f = ((s + 128) & 255) - 128
+            e = (s - f) >> 8
+            assert e.min() >= -128 and e.max() <= 127
+            return (e.astype(np.int8), f.astype(np.int8))
+        slab_planes = [s8_split(s) for s in slabs]
+        cx_scale = None
+    elif x_kara:
         slab_planes = [_kara_planes(s, axis=-2) for s in slabs]
         cx_scale = None
     else:
@@ -1228,7 +1243,29 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                        for j in range(n_cx_ops)]
         else:
             cx_vals = [r[...] for r in cx_in]
-        if x_kara:
+        if x_s8:
+            # 4 exact s8 dots (see scheme comment at build time); i32
+            # accumulation wraps mod 2**32 exactly like the reference's C
+            # arithmetic, so no floating-point bounds apply
+            b = ((w + 128) & 255) - 128
+            a = (w - b) >> 8
+            a8, b8 = a.astype(jnp.int8), b.astype(jnp.int8)
+            parts = []
+            for gi, (_o0, _ol, k0, kl) in enumerate(xg):
+                ce = cx_vals[0 * n_xg + gi]
+                cf = cx_vals[1 * n_xg + gi]
+                ae = jnp.dot(a8[:, k0:k0 + kl], ce,
+                             preferred_element_type=jnp.int32)
+                af = jnp.dot(a8[:, k0:k0 + kl], cf,
+                             preferred_element_type=jnp.int32)
+                be = jnp.dot(b8[:, k0:k0 + kl], ce,
+                             preferred_element_type=jnp.int32)
+                bf_ = jnp.dot(b8[:, k0:k0 + kl], cf,
+                              preferred_element_type=jnp.int32)
+                parts.append(ae * 65536 + (af + be) * 256 + bf_)
+            sums = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                    else parts[0])
+        elif x_kara:
             # balanced Karatsuba: w = a*256 + b (b in [-128,127]),
             # sum w*c = 65280*(a@e) - 255*(b@f) + 256*((a+b)@(e+f));
             # every operand is bf16-exact (|a+b| <= 256), every partial sum
@@ -1371,7 +1408,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                                           jnp.int8 if s8_y else jnp.bfloat16)
                                for o in cy_ops]
         if x_res:
-            scratch_shapes += [pltpu.VMEM(o.shape, jnp.bfloat16)
+            scratch_shapes += [pltpu.VMEM(o.shape,
+                                          jnp.int8 if x_s8 else jnp.bfloat16)
                                for o in cx_ops]
         scratch_shapes.append(pltpu.SemaphoreType.DMA((n_sc,)))
     if y_cond:

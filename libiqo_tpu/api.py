@@ -151,8 +151,13 @@ class Resizer:
 
             if pallas_resize.supports_plan(self._plan):
                 interpret = jax.devices()[0].platform != "tpu"
-                fn, operands = pallas_resize.make_resize_fn(
-                    self._plan, interpret=interpret)
+                try:
+                    fn, operands = pallas_resize.make_resize_fn(
+                        self._plan, interpret=interpret)
+                except ValueError:
+                    # s8-envelope plans whose padless build is infeasible
+                    # (VMEM) have no exact padded fallback — use XLA
+                    fn = operands = None
             # geometries outside the fast path fall back to the exact
             # XLA formulation (the analog of the reference's Generic
             # fallback when no SIMD impl applies,

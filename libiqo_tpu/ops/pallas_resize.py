@@ -384,15 +384,36 @@ def _auto_tiles(plan: ResizePlan):
     return best if best else (128, 128)
 
 
-def _plan_ok(plan: ResizePlan, th_target: int, tw_target: int) -> bool:
+def _exact_s8_ok(plan: ResizePlan) -> bool:
+    """True when the all-integer s8 schemes cover this plan exactly with
+    NO floating-point bounds: s8 Y (taps fit int8) + s8 4-dot X (taps
+    split into s8 planes).  i32 accumulation wraps mod 2**32 like the
+    reference's C arithmetic, so tap counts and sums are unrestricted.
+    Block values equal plan.coef values (taps of one output land on
+    consecutive distinct source indices), so the plan tables are the
+    right thing to gate on."""
     y, x = plan.y, plan.x
-    for ax in (y, x):
+    return (plan.wrap16
+            and int(y.coef.min()) >= -128 and int(y.coef.max()) <= 127
+            and int(x.coef.min()) >= -32768 and int(x.coef.max()) <= 32639)
+
+
+def _exact_f32_ok(plan: ResizePlan) -> bool:
+    """Exactness bounds of the bf16 byte-plane / Karatsuba schemes."""
+    for ax in (plan.y, plan.x):
         if int(np.abs(ax.coef.astype(np.int64)).sum(axis=1).max()) > _F32_EXACT_COEF_SUM:
             return False
         # byte-plane exactness: rows with > 258 taps can overflow the lo
         # plane's 2**24 sum bound
         if ax.num_coefs > 258:
             return False
+    return True
+
+
+def _plan_ok(plan: ResizePlan, th_target: int, tw_target: int) -> bool:
+    y, x = plan.y, plan.x
+    if not _exact_f32_ok(plan):
+        return False
     th, tw = _tiles(plan, th_target, tw_target)
     ty, _ = _tile_axis(y, th, 32)
     tx, _ = _tile_axis(x, tw, 128)
@@ -410,7 +431,8 @@ def supports_plan(plan: ResizePlan, th_target: int = 0,
     """True when the fused kernel path handles this plan exactly (see
     module docstring); otherwise callers use ops.xla_resize.
     th/tw_target of 0 = auto-tuned tile sizes."""
-    return _plan_ok(plan, th_target, tw_target)
+    return (_plan_ok(plan, th_target, tw_target)
+            or _exact_s8_ok(plan))
 
 
 def _make_padded_fn(plan: ResizePlan, *, interpret: bool = False,
@@ -1026,6 +1048,15 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             and not all(_single_plane_ok(s, axis=-2) for s in slabs))
     x_kara = (not x_s8 and plan.wrap16
               and not all(_single_plane_ok(s, axis=-2) for s in slabs))
+    # exactness guard: the bf16 schemes need _exact_f32_ok's bounds;
+    # plans admitted via _exact_s8_ok alone must land on the all-integer
+    # schemes (force_streamed_y disables s8_y, so such builds refuse)
+    if not _exact_f32_ok(plan):
+        x_int_exact = x_s8 or all(_single_plane_ok(s, axis=-2)
+                                  for s in slabs)
+        if not (s8_y and x_int_exact):
+            return None
+
     if x_s8:
         def s8_split(s):
             f = ((s + 128) & 255) - 128
@@ -1469,11 +1500,12 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
     padded one; "padless"/"padded" force a specific mode (padless raises if
     infeasible).  LIBIQO_TPU_PADDED=1 forces padded globally.
     """
-    if not _plan_ok(plan, th_target, tw_target):
+    f32_ok = _plan_ok(plan, th_target, tw_target)
+    if not f32_ok and not _exact_s8_ok(plan):
         raise ValueError("plan not supported by the pallas path; use xla_resize")
     import os
 
-    if mode == "auto" and os.environ.get("LIBIQO_TPU_PADDED"):
+    if mode == "auto" and os.environ.get("LIBIQO_TPU_PADDED") and f32_ok:
         mode = "padded"
     if mode in ("auto", "padless"):
         built = _make_padless_fn(plan, interpret=interpret,
@@ -1483,5 +1515,10 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
             return built
         if mode == "padless":
             raise ValueError("plan not supported by the padless pallas mode")
+    if not f32_ok:
+        # admitted via the s8 envelope only; the padded builder has no s8
+        # schemes, so there is nothing exact to fall back to here
+        raise ValueError("plan needs the s8 padless path (infeasible); "
+                         "use xla_resize")
     return _make_padded_fn(plan, interpret=interpret, th_target=th_target,
                            tw_target=tw_target, grid_order=grid_order)

@@ -59,7 +59,11 @@ def resize_batch_dp(plan: ResizePlan, frames, mesh: Mesh, axis: str = "data",
 
     kind, interpret = _local_backend(plan, backend)
     if kind == "pallas":
-        fn, operands = pallas_resize.make_resize_fn(plan, interpret=interpret)
+        try:
+            fn, operands = pallas_resize.make_resize_fn(plan,
+                                                        interpret=interpret)
+        except ValueError:     # s8-envelope plan, padless infeasible
+            fn, operands = xla_resize.make_resize_fn(plan)
     else:
         fn, operands = xla_resize.make_resize_fn(plan)
 
@@ -345,7 +349,11 @@ def make_yuv_step_fn(mesh: Mesh, src_w: int, src_h: int, dst_w: int, dst_h: int,
     def make(plan):
         kind, interpret = _local_backend(plan, backend)
         if kind == "pallas":
-            return pallas_resize.make_resize_fn(plan, interpret=interpret)
+            try:
+                return pallas_resize.make_resize_fn(plan,
+                                                    interpret=interpret)
+            except ValueError:   # s8-envelope plan, padless infeasible
+                pass
         return xla_resize.make_resize_fn(plan)
 
     fn_l, ops_l = make(plan_l)

@@ -75,3 +75,20 @@ def test_unsupported_geometry_falls_back():
     src = RNG.integers(0, 256, (4, 8192), np.uint8)
     np.testing.assert_array_equal(
         r.resize(src), numpy_ref.resize_u8(plan, src))
+
+
+def test_s8_envelope_big_tap_geometry():
+    """wrap16 plans outside the bf16 exactness bounds (274 taps here) ride
+    the all-integer s8 schemes: i32 accumulation has no f32 bounds."""
+    import jax
+
+    plan = build_plan("lanczos", 363, 614, 364, 18, degree=4)
+    assert plan.y.num_coefs > 258          # outside the bf16 envelope
+    assert pallas_resize.supports_plan(plan)
+    try:
+        fn, ops = pallas_resize.make_resize_fn(plan, interpret=True)
+    except ValueError:
+        pytest.skip("s8 padless build infeasible for this geometry")
+    src = RNG.integers(0, 256, (614, 363), np.uint8)
+    got = np.asarray(jax.jit(fn)(*ops, src))
+    np.testing.assert_array_equal(got, numpy_ref.resize_u8(plan, src))

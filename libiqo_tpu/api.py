@@ -69,6 +69,19 @@ def _cache_get(key):
     return value
 
 
+_WARMUP_POOL = None
+
+
+def _warmup_pool():
+    global _WARMUP_POOL
+    if _WARMUP_POOL is None:
+        import concurrent.futures
+
+        _WARMUP_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="libiqo-warmup")
+    return _WARMUP_POOL
+
+
 _cache_configured = False
 
 
@@ -155,8 +168,8 @@ class Resizer:
                     fn, operands = pallas_resize.make_resize_fn(
                         self._plan, interpret=interpret)
                 except ValueError:
-                    # s8-envelope plans whose padless build is infeasible
-                    # (VMEM) have no exact padded fallback — use XLA
+                    # plans whose padless build is infeasible (VMEM
+                    # envelope) — fall back to the exact XLA path
                     fn = operands = None
             # geometries outside the fast path fall back to the exact
             # XLA formulation (the analog of the reference's Generic
@@ -199,6 +212,36 @@ class Resizer:
 
         out = self._jitted(*self._operands, jnp.asarray(src))
         return np.asarray(out) if want_numpy else out
+
+    # -- warmup -----------------------------------------------------------
+    #
+    # The FIRST resize of a fresh geometry compiles the kernel: tens of
+    # seconds when the TPU compile service is remote (measured 73 s for the
+    # first-ever case on a tunneled v5e), once per geometry per machine
+    # thanks to the persistent jax compilation cache (~/.cache/libiqo_tpu).
+    # Servers should pre-build geometries at startup with warmup().
+
+    def warmup(self, batch: int | None = None):
+        """Compile this resizer's executable for ``batch`` frames now
+        (None = single-frame shape) instead of paying the cold-compile
+        cost on the first real ``resize`` call.  Returns ``self``."""
+        backend = self.resolved_backend()
+        if backend == "numpy":
+            return self
+        self._ensure_compiled(backend)
+        import jax
+        import jax.numpy as jnp
+
+        shape = self.src_shape if batch is None else (batch, *self.src_shape)
+        out = self._jitted(*self._operands, jnp.zeros(shape, jnp.uint8))
+        jax.block_until_ready(out)
+        return self
+
+    def warmup_async(self, batch: int | None = None):
+        """``warmup`` on a background thread (jit compilation is
+        thread-safe); returns a ``concurrent.futures.Future`` resolving to
+        ``self`` so servers can overlap startup work."""
+        return _warmup_pool().submit(self.warmup, batch)
 
 
 class LanczosResizer(Resizer):

@@ -12,8 +12,18 @@ Optional side-by-side oracles (the reference's OpenCV/IPP comparison slots,
 ref: benchmark.cpp:23-29): ``--oracle cv`` uses cv2 if installed, and
 ``--oracle pil`` uses PIL; both are skipped gracefully when unavailable.
 
-Extra TPU-native mode: ``--batch B`` measures batched throughput (frames
-pipelined through one executable), the number that matters for serving.
+Extra TPU-native modes:
+
+* ``--batch B`` measures batched device-resident throughput (frames
+  pipelined through one executable);
+* ``--stream N --batch B`` measures the full serving pipeline: N fresh
+  numpy frames move host->device in B-frame chunks with the NEXT chunk's
+  upload and the previous chunk's download overlapped against compute
+  (async device_put / copy_to_host_async, several calls in flight), so
+  per-call dispatch latency and PCIe/tunnel transfer hide behind the
+  kernel instead of serializing with it — the number that matters for
+  serving (the reference protocol's closest analog is its per-cycle loop,
+  ref: benchmark/benchmark.cpp:1019-1031).
 """
 
 from __future__ import annotations
@@ -55,6 +65,10 @@ def main(argv=None) -> int:
                     help="construct once instead of per cycle")
     ap.add_argument("--batch", type=int, default=0,
                     help="batched throughput mode (frames per executable call)")
+    ap.add_argument("--stream", type=int, default=0, metavar="N",
+                    help="streaming pipeline mode: N numpy frames through "
+                         "the device in --batch chunks, transfers overlapped "
+                         "with compute")
     ap.add_argument("--oracle", choices=["cv", "pil"], default=None)
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the timed region")
@@ -66,6 +80,44 @@ def main(argv=None) -> int:
     print(f"    size: {args.ow}x{args.oh}")
     print(f"  method: {args.m}  backend: {args.backend}")
     print(f"  device: {describe()}")
+
+    if args.stream:
+        import jax
+
+        chunk = args.batch or 16
+        n_chunks = max(2, -(-args.stream // chunk))
+        r = YUV420Resizer(args.m, args.iw, args.ih, args.ow, args.oh,
+                          backend=args.backend)
+        # distinct frame contents per chunk (nothing cacheable), generated
+        # outside the timed region — the timed pipeline is upload + resize
+        # + download for every frame
+        host = [_rand_planes(args.iw, args.ih, chunk, seed=s)
+                for s in range(min(n_chunks, 4))]
+        # warm compile + transfer paths
+        warm = r.resize_batch(*(jax.device_put(a) for a in host[0]))
+        _sync(*warm)
+
+        t0 = time.perf_counter()
+        # prime: first chunk's upload is the pipeline fill
+        dev = jax.device_put(host[0])
+        outs = []
+        for i in range(n_chunks):
+            nxt = jax.device_put(host[(i + 1) % len(host)]) \
+                if i + 1 < n_chunks else None      # async upload overlaps
+            o = r.resize_batch(*dev)
+            for a in o:
+                a.copy_to_host_async()             # async download overlaps
+            outs.append(o)
+            dev = nxt
+        # drain: every frame's download must really land on the host
+        got = [[np.asarray(a) for a in o] for o in outs]
+        dt = (time.perf_counter() - t0) / (n_chunks * chunk)
+        assert got[-1][0].dtype == np.uint8
+        print(f"benchmark (streaming {n_chunks * chunk} frames, "
+              f"chunks of {chunk}, transfers overlapped)")
+        print(f"  elapsed time: {dt*1e3:8.3f} ms/frame")
+        print(f"  luma input:   {args.iw*args.ih/dt/1e6:10,.1f} Mpix/s")
+        return 0
 
     if args.batch:
         import contextlib

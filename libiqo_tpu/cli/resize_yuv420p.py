@@ -14,7 +14,9 @@ from __future__ import annotations
 import argparse
 import sys
 
-from ..yuv import YUV420Resizer, read_yuv420, write_yuv420
+import numpy as np
+
+from ..yuv import YUV420Resizer, iter_yuv420, write_yuv420
 
 
 def main(argv=None) -> int:
@@ -41,16 +43,25 @@ def main(argv=None) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    # stream frame-at-a-time: constant memory for arbitrarily long files
+    # (matches the reference sample's one-frame read loop,
+    # ref: sample/resize_yuv420p.cpp:94-112)
+    n = 0
     try:
-        frames = read_yuv420(args.i, args.iw, args.ih, args.frames)
+        with open(args.o, "wb") as out_fp:
+            for f in iter_yuv420(args.i, args.iw, args.ih, args.frames):
+                o = r.resize(f)
+                out_fp.write(np.ascontiguousarray(o.y).tobytes())
+                out_fp.write(np.ascontiguousarray(o.u).tobytes())
+                out_fp.write(np.ascontiguousarray(o.v).tobytes())
+                n += 1
     except OSError as e:
-        print(f"error: could not read {args.i}: {e}", file=sys.stderr)
+        print(f"error: could not process {args.i}: {e}", file=sys.stderr)
         return 1
-    if not frames:
+    if not n:
         print("error: no complete frames in input", file=sys.stderr)
         return 1
-    write_yuv420(args.o, (r.resize(f) for f in frames))
-    print(f"{len(frames)} frame(s): {args.iw}x{args.ih} -> {args.ow}x{args.oh} "
+    print(f"{n} frame(s): {args.iw}x{args.ih} -> {args.ow}x{args.oh} "
           f"({args.m}, backend={r._luma.resolved_backend()})")
     return 0
 

@@ -38,21 +38,15 @@ source band are small dense blocks, so both passes run on the MXU:
 Geometries whose bands would blow VMEM, or whose tap sums exceed the bf16
 exactness bounds, fall back to ops.xla_resize (see :func:`supports_plan`).
 
-Two kernel modes share the math above:
-
-* **padless** (default): band windows are Element-mode slices of the raw,
-  unpadded source — offsets ``max(0, min(hi, base + t*step))``, clamped
-  fully in bounds on both sides (see :func:`_tile_axis_padless` for the
-  measured Mosaic rules that force this).  Edge tiles whose clamped window
-  is shifted relative to the affine ideal get their own coefficient-block
-  *variant*; the few variants sit VMEM-resident and each grid step selects
-  its variant by a dynamic leading index.  This avoids materializing a
-  padded copy of every frame (~2 full-frame HBM round trips that dominated
-  the padded mode's runtime on bandwidth-limited chips).
-* **padded** (legacy, ``mode="padded"`` or LIBIQO_TPU_PADDED=1): jnp.pad
-  the source so every affine window is in range, with blocked main+halo
-  window decomposition.  Kept as the fallback for geometries the padless
-  builder rejects and for A/B measurement.
+The kernel is **padless**: band windows are Element-mode slices of the raw,
+unpadded source — offsets ``max(0, min(hi, base + t*step))``, clamped
+fully in bounds on both sides (see :func:`_tile_axis_padless` for the
+measured Mosaic rules that force this).  Edge tiles whose clamped window
+is shifted relative to the affine ideal get their own coefficient-block
+*variant*; the few variants sit VMEM-resident and each grid step selects
+its variant by a dynamic leading index.  This avoids materializing a
+padded copy of every frame (~2 full-frame HBM round trips that dominated
+the removed legacy padded mode's runtime on bandwidth-limited chips).
 """
 
 from __future__ import annotations
@@ -169,6 +163,23 @@ def _byte_planes(blocks: np.ndarray, axis: int = -1):
     return (hi, lo), (256, 1)
 
 
+def _kara_ok(blocks: np.ndarray, axis: int) -> bool:
+    """Whether the balanced Karatsuba split (see _kara_planes) is exact for
+    these coefficient blocks.  Fails for pathological px_scale phases whose
+    quantized taps exceed the balanced hi plane's [-128, 128] range (the
+    observed surface includes |coef| > 2**15, golden/numpy_ref.py:41-43);
+    callers then use the hi/lo byte split, exact for any _exact_f32_ok plan."""
+    f = ((blocks + 128) & 255) - 128
+    e = (blocks - f) >> 8
+    g = e + f
+    cap = 1 << 24
+    return (int(e.min()) >= -128 and int(e.max()) <= 128
+            and int(g.min()) >= -256 and int(g.max()) <= 256
+            and 128 * int(np.abs(e).sum(axis=axis).max()) < cap
+            and 128 * int(np.abs(f).sum(axis=axis).max()) < cap
+            and 256 * int(np.abs(g).sum(axis=axis).max()) < cap)
+
+
 def _kara_planes(blocks: np.ndarray, axis: int):
     """Balanced-split Karatsuba operands for 16-bit coefficient blocks.
 
@@ -183,18 +194,17 @@ def _kara_planes(blocks: np.ndarray, axis: int):
     note that Karatsuba "fails the 8-bit bound" assumed unsigned planes;
     the signed 9-bit exact range makes the middle term representable.)
     Exactness: |a|<=128, |b|<=128, |a+b|<=256 and per-output sums along
-    ``axis`` satisfy 128*sum|e|, 128*sum|f|, 256*sum|e+f| < 2**24, asserted
-    here from the actual tables.
+    ``axis`` satisfy 128*sum|e|, 128*sum|f|, 256*sum|e+f| < 2**24 —
+    callers must gate on :func:`_kara_ok` (raises ValueError, not assert,
+    so the api.py/sharding fallback chains engage and the check survives
+    ``python -O``).
     """
+    if not _kara_ok(blocks, axis):
+        raise ValueError("coefficient blocks exceed the Karatsuba "
+                         "exactness bounds; use the hi/lo byte split")
     f = ((blocks + 128) & 255) - 128
     e = (blocks - f) >> 8
     g = e + f
-    assert e.min() >= -128 and e.max() <= 128, "coef hi plane out of range"
-    assert g.min() >= -256 and g.max() <= 256, "coef sum plane out of range"
-    cap = 1 << 24
-    assert 128 * int(np.abs(e).sum(axis=axis).max()) < cap
-    assert 128 * int(np.abs(f).sum(axis=axis).max()) < cap
-    assert 256 * int(np.abs(g).sum(axis=axis).max()) < cap
     return tuple(p.astype(np.float32).astype(jnp.bfloat16)
                  for p in (e, f, g))
 
@@ -261,66 +271,6 @@ def _pick_groups(blocks: np.ndarray, *, out_is_m: bool, other_dim: int,
     return best
 
 
-def _unclipped_coef(ax: AxisPlan, d: int, i: int) -> int:
-    """Tap value with OOB clipping undone (zero padding supplies the zeros
-    the reference's tap-dropping would)."""
-    if 0 <= int(ax.start[d]) + i < ax.n_src:
-        return int(ax.coef[d, i])
-    p = d % ax.num_tables
-    for dd in range(p, ax.n_dst, ax.num_tables):
-        if ax.start[dd] >= 0 and ax.start[dd] + ax.num_coefs <= ax.n_src:
-            return int(ax.coef[dd, i])
-    return int(ax.coef[d, i])
-
-
-def _build_blocks(ax: AxisPlan, t_ax: _Axis, base: int, transpose: bool):
-    """Dense per-tile coefficient blocks.
-
-    Y (transpose=False): (n_tiles, tile, band) so w = block @ band_rows.
-    X (transpose=True):  (n_tiles, band, tile) so out = work @ block.
-
-    Rows beyond n_dst (output padding, masked on store) are extrapolated
-    phase-affinely so that when the geometry is exactly affine, every
-    tile's block is identical and can be shared VMEM-resident.  Their taps
-    are dropped when they fall outside the band, which keeps band reads in
-    bounds; the affected outputs are never stored.
-    """
-    n, tile, band = t_ax.n_tiles, t_ax.tile, t_ax.band
-    r_s, r_d = _reduced(ax)
-    shape = (n, band, tile) if transpose else (n, tile, band)
-    blocks = np.zeros(shape, np.int64)
-
-    def row_for(d):
-        """(start, taps) for output d, extrapolating past n_dst."""
-        if d < ax.n_dst:
-            return int(ax.start[d]), [_unclipped_coef(ax, d, i)
-                                      for i in range(ax.num_coefs)]
-        p = d % max(1, ax.num_tables)
-        for dd in range(p, ax.n_dst, max(1, ax.num_tables)):
-            if ax.start[dd] >= 0 and ax.start[dd] + ax.num_coefs <= ax.n_src:
-                s = int(ax.start[dd]) + ((d - dd) // ax.num_tables) * \
-                    (ax.num_tables * r_s // r_d)
-                return s, [int(v) for v in ax.coef[dd]]
-        return None, None
-
-    for t in range(n):
-        off = base + t_ax.step * t
-        for k in range(tile):
-            d = t * tile + k
-            s, taps = row_for(d)
-            if s is None:
-                continue
-            s0 = s + t_ax.pad_lo - off
-            for i in range(ax.num_coefs):
-                j = s0 + i
-                if 0 <= j < band:
-                    if transpose:
-                        blocks[t, j, k] += taps[i]
-                    else:
-                        blocks[t, k, j] += taps[i]
-    return blocks
-
-
 def _tiles(plan: ResizePlan, th_target: int, tw_target: int):
     if th_target == 0 or tw_target == 0:
         return _auto_tiles(plan)
@@ -329,9 +279,32 @@ def _tiles(plan: ResizePlan, th_target: int, tw_target: int):
     return th, tw
 
 
-_MXU_RATE = 75e12      # measured effective bf16 flops (MAC*2)/s on this chip
-_STEP_OVERHEAD = 0.3e-6  # per grid step (measured ~0.25us marginal)
-_DMA_RATE = 1.9e11     # measured u8 stream >= 183 GB/s
+# Auto-tuner cost-model rates, keyed by jax device_kind (prefix match).
+# Measured on the chips we have run on; unknown kinds take the
+# deliberately conservative default, which still yields valid kernels
+# (the model only RANKS tile candidates — every candidate is exact).
+# Re-measure with scripts/tile_sweep.py when bringing up a new TPU
+# generation and add a row here.
+_TUNER_RATES = {
+    # device_kind prefix: (mxu flops/s, per-grid-step s, dma bytes/s,
+    #                      vpu int32 divides/s)
+    "TPU v5 lite": (75e12, 0.3e-6, 1.9e11, 1.6e10),   # measured (NOTES.md)
+}
+_TUNER_DEFAULT = (50e12, 0.5e-6, 1.2e11, 1.0e10)      # conservative
+
+
+def _tuner_rates():
+    """(mxu, step, dma, div) rates for the current device."""
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = ""
+    for prefix, rates in _TUNER_RATES.items():
+        if kind.startswith(prefix):
+            return rates
+    return _TUNER_DEFAULT
 
 
 def _est_coef_single(ax: AxisPlan) -> bool:
@@ -353,7 +326,7 @@ def _auto_tiles(plan: ResizePlan):
     r_sh, r_dh = _reduced(y)
     r_sw, r_dw = _reduced(x)
     n_cy = 1 if _est_coef_single(y) else 2
-    n_dx = 2 if _est_coef_single(x) else 4   # padded kernel: hi/lo X split
+    n_dx = 2 if _est_coef_single(x) else 4   # hi/lo X split dot count
     best, best_cost = None, float("inf")
     for th in (96, 128, 192, 256):
         th_eff = min(-(-y.n_dst // 32) * 32, th)
@@ -372,7 +345,8 @@ def _auto_tiles(plan: ResizePlan):
             # coefficient streaming: per-tile unless exactly affine
             dma += (1 if x_affine else n_tiles) * 2 * tx.band * tw_eff * 2
             dma += (1 if y_affine else n_tiles) * n_cy * th_eff * ty.band * 2
-            cost = flops / _MXU_RATE + n_tiles * _STEP_OVERHEAD + dma / _DMA_RATE
+            mxu_r, step_r, dma_r, _div_r = _tuner_rates()
+            cost = flops / mxu_r + n_tiles * step_r + dma / dma_r
             # VMEM feasibility
             est = (ty.band * tx.band + 4 * th_eff * tx.band
                    + 2 * 2 * th_eff * ty.band + 2 * 2 * tx.band * tw_eff
@@ -417,7 +391,9 @@ def _plan_ok(plan: ResizePlan, th_target: int, tw_target: int) -> bool:
     th, tw = _tiles(plan, th_target, tw_target)
     ty, _ = _tile_axis(y, th, 32)
     tx, _ = _tile_axis(x, tw, 128)
-    # rough VMEM estimate: band + work + coef blocks + dot temps
+    # rough VMEM pre-gate (the padless builder re-checks with the actual
+    # operand shapes and returns None when infeasible): band + work +
+    # coef blocks + dot temps
     est = (ty.band * tx.band            # u8 band
            + 4 * th * tx.band           # i32 work
            + 2 * 2 * th * ty.band       # Y blocks (<=2 planes)
@@ -433,274 +409,6 @@ def supports_plan(plan: ResizePlan, th_target: int = 0,
     th/tw_target of 0 = auto-tuned tile sizes."""
     return (_plan_ok(plan, th_target, tw_target)
             or _exact_s8_ok(plan))
-
-
-def _make_padded_fn(plan: ResizePlan, *, interpret: bool = False,
-                    th_target: int = 0, tw_target: int = 0,
-                    grid_order: str = "xy"):
-    """Legacy padded-mode builder (see module docstring).
-
-    ``grid_order="xy"`` iterates column tiles in the outer grid dimension so
-    the X coefficient blocks stay VMEM-resident across the row sweep.
-    """
-    if not _plan_ok(plan, th_target, tw_target):
-        raise ValueError("plan not supported by the pallas path; use xla_resize")
-
-    y, x = plan.y, plan.x
-    th, tw = _tiles(plan, th_target, tw_target)
-    ty_ax, y_base = _tile_axis(y, th, 32)
-    tx_ax, x_base = _tile_axis(x, tw, 128)
-    n_ty, n_tx = ty_ax.n_tiles, tx_ax.n_tiles
-    band_h, band_w = ty_ax.band, tx_ax.band
-
-    # band decomposition into pure Blocked windows (fast Mosaic pipeline);
-    # segment layout [(offset, length), ...] per axis
-    blocked = ((ty_ax.halo > 0 or band_h == ty_ax.step)
-               and (tx_ax.halo > 0 or band_w == tx_ax.step))
-    row_segs = [(0, min(ty_ax.step, band_h))]
-    if ty_ax.halo:
-        row_segs.append((ty_ax.step, ty_ax.halo))
-    col_segs = [(0, min(tx_ax.step, band_w))]
-    if tx_ax.halo:
-        col_segs.append((tx_ax.step, tx_ax.halo))
-
-    cy_full = _build_blocks(y, ty_ax, y_base, False)
-    cx_full = _build_blocks(x, tx_ax, x_base, True)
-
-    # When the tile->band mapping is exactly affine (integer, aligned step —
-    # true for all phase-periodic geometries with our tile choices), every
-    # tile's coefficient block is IDENTICAL: keep a single VMEM-resident
-    # block instead of streaming one per tile from HBM.  On this chip the
-    # per-tile X blocks would otherwise dominate HBM traffic (~60 MB/frame
-    # vs ~10 MB of actual pixels at ~87 GB/s effective bandwidth).
-    # sharing needs DMA-sliceable segments: bf16 tiling wants the minor dim
-    # 128-aligned (cy segments are (th, seg): seg is the lane dim) and the
-    # sublane dim 16-aligned
-    cy_shared = (bool((cy_full == cy_full[0:1]).all())
-                 and all(l % 128 == 0 for _o, l in row_segs))
-    cx_shared = (bool((cx_full == cx_full[0:1]).all())
-                 and all(l % 16 == 0 for _o, l in col_segs))
-    if cy_shared:
-        cy_full = cy_full[0:1]
-    if cx_shared:
-        cx_full = cx_full[0:1]
-
-    cy_planes, cy_scale = _byte_planes(cy_full, axis=-1)
-    cx_planes, cx_scale = _byte_planes(cx_full, axis=-2)
-    n_cy, n_cx = len(cy_planes), len(cx_planes)
-    if blocked:
-        # segment each plane to match the band pieces (Y along the band
-        # rows = dim 2; X along the band rows = dim 1)
-        cy_ops = [np.ascontiguousarray(p[:, :, o:o + l])
-                  for p in (np.asarray(q) for q in cy_planes)
-                  for (o, l) in row_segs]
-        cx_ops = [np.ascontiguousarray(p[:, o:o + l, :])
-                  for p in (np.asarray(q) for q in cx_planes)
-                  for (o, l) in col_segs]
-    else:
-        cy_ops = [np.asarray(p) for p in cy_planes]
-        cx_ops = [np.asarray(p) for p in cx_planes]
-
-    wrap16 = plan.wrap16
-    y_bias = y.bias
-    out_shift = plan.out_shift
-    half = 1 << (out_shift - 1)
-    y_has_border = bool(y.is_border.any())
-    x_has_border = bool(x.is_border.any())
-
-    n_rows_pad = n_ty * th
-    deno_y = np.ones((n_rows_pad, 1), np.int32)
-    deno_y[: y.n_dst, 0] = np.where(y.deno == 0, 1, y.deno)
-    border_y = np.zeros((n_rows_pad, 1), np.int32)
-    border_y[: y.n_dst, 0] = y.is_border.astype(np.int32)
-    n_cols_pad = n_tx * tw
-    deno_x = np.ones((1, n_cols_pad), np.int32)
-    deno_x[0, : x.n_dst] = np.where(x.deno == 0, 1, x.deno)
-    border_x = np.zeros((1, n_cols_pad), np.int32)
-    border_x[0, : x.n_dst] = x.is_border.astype(np.int32)
-
-    f32 = jnp.float32
-    # dot operand dtype: bf16 on real TPU silicon; f32 under interpret
-    # (XLA:CPU's emulated bf16 matmul corrupts the heap on odd-width
-    # operands; CPU f32 dots are exact for all our 8-bit operand bounds)
-    dot_dt = jnp.float32 if interpret else jnp.bfloat16
-    n_rs, n_cs = len(row_segs), len(col_segs)
-    n_band = n_rs * n_cs if blocked else 1
-    n_cy_in = n_cy * (n_rs if blocked else 1)
-    n_cx_in = n_cx * (n_cs if blocked else 1)
-
-    def kernel(*refs):
-        band_refs = refs[:n_band]
-        cy_in = refs[n_band:n_band + n_cy_in]
-        cx_in = refs[n_band + n_cy_in:n_band + n_cy_in + n_cx_in]
-        dy_ref, by_ref, dx_ref, bx_ref, out_ref = \
-            refs[n_band + n_cy_in + n_cx_in:n_band + n_cy_in + n_cx_in + 5]
-        scratch = refs[n_band + n_cy_in + n_cx_in + 5:]
-
-        # shared coefficient blocks: stream from HBM ONCE into persistent
-        # VMEM scratch on the first grid step (the pipeline would otherwise
-        # re-fetch them every step — dominant HBM traffic on this chip)
-        n_sc_y = n_cy_in if cy_shared else 0
-        n_sc_x = n_cx_in if cx_shared else 0
-        if n_sc_y or n_sc_x:
-            sc_refs = scratch[:n_sc_y + n_sc_x]
-            sem = scratch[n_sc_y + n_sc_x]
-            first = sum(pl.program_id(k) for k in range(2)) == 0
-
-            @pl.when(first)
-            def _():
-                k = 0
-                for src, dst in (list(zip(cy_in, sc_refs[:n_sc_y])) if cy_shared else []) + \
-                                (list(zip(cx_in, sc_refs[n_sc_y:])) if cx_shared else []):
-                    cp = pltpu.make_async_copy(src.at[0], dst, sem.at[k])
-                    cp.start()
-                    cp.wait()
-                    k += 1
-            cy_refs = tuple(sc_refs[:n_sc_y]) if cy_shared else cy_in
-            cx_refs = tuple(sc_refs[n_sc_y:n_sc_y + n_sc_x]) if cx_shared else cx_in
-        else:
-            cy_refs, cx_refs = cy_in, cx_in
-
-        def to_bf16(r):
-            # u8 -> bf16 must route through i32 (no direct Mosaic cast)
-            return r[...].astype(jnp.int32).astype(dot_dt)
-
-        # ---- Y pass per column segment: work = sum_r Cy_r @ band_(r,c) --
-        w_segs = []
-        for c in range(n_cs if blocked else 1):
-            nume = None
-            for p in range(n_cy):
-                for r in range(n_rs if blocked else 1):
-                    cref = cy_refs[p * (n_rs if blocked else 1) + r]
-                    bref = band_refs[r * n_cs + c] if blocked else band_refs[0]
-                    d = jnp.dot(cref[...].astype(dot_dt), to_bf16(bref),
-                                preferred_element_type=f32).astype(jnp.int32)
-                    d = d * cy_scale[p]
-                    nume = d if nume is None else nume + d
-            if wrap16:
-                w = ((nume + 32768) & 65535) - 32768
-                if y_has_border:
-                    bval = jax.lax.div(w * y_bias,
-                                       jnp.broadcast_to(dy_ref[...], w.shape))
-                    bval = ((bval + 32768) & 65535) - 32768
-                    w = jnp.where(by_ref[...] > 0, bval, w)
-            else:
-                w = nume
-            w_segs.append(w)
-
-        # ---- X pass: sums = sum_c work_c @ Cx_c (byte-plane split) ------
-        sums = None
-        for c, w in enumerate(w_segs):
-            w_lo = (w & 255).astype(dot_dt)
-            w_hi = (w >> 8).astype(dot_dt)
-            for p in range(n_cx):
-                cref = cx_refs[p * (n_cs if blocked else 1) + c]
-                cc = cref[...].astype(dot_dt)
-                hi = jnp.dot(w_hi, cc, preferred_element_type=f32).astype(jnp.int32)
-                lo = jnp.dot(w_lo, cc, preferred_element_type=f32).astype(jnp.int32)
-                part = (hi * 256 + lo) * cx_scale[p]
-                sums = part if sums is None else sums + part
-
-        # ---- rounding epilogue ------------------------------------------
-        main = (sums + half) >> out_shift
-        if x_has_border:
-            bval = jax.lax.div(sums + half,
-                               jnp.broadcast_to(dx_ref[...] * y_bias, sums.shape))
-            v = jnp.where(bx_ref[...] > 0, bval, main)
-        else:
-            v = main
-        v = ((v + 32768) & 65535) - 32768
-        out_ref[...] = jnp.clip(v, 0, 255).astype(jnp.uint8)
-
-    E = pallas_core.Element
-    if grid_order == "xy":
-        grid = (n_tx, n_ty)
-        gy = lambda tx, ty: ty
-        gx = lambda tx, ty: tx
-    else:
-        grid = (n_ty, n_tx)
-        gy = lambda ty, tx: ty
-        gx = lambda ty, tx: tx
-
-    if blocked:
-        band_specs = []
-        for (ro, rl) in row_segs:
-            for (co, cl) in col_segs:
-                def imap(*g, ro=ro, rl=rl, co=co, cl=cl):
-                    return (gy(*g) * (ty_ax.step // rl) + ro // rl,
-                            gx(*g) * (tx_ax.step // cl) + co // cl)
-                band_specs.append(pl.BlockSpec((rl, cl), imap,
-                                               memory_space=pltpu.VMEM))
-    else:
-        band_specs = [pl.BlockSpec(
-            (E(band_h), E(band_w)),
-            lambda *g: (pl.multiple_of(y_base + gy(*g) * ty_ax.step, 32),
-                        pl.multiple_of(x_base + gx(*g) * tx_ax.step, 128)),
-            memory_space=pltpu.VMEM)]
-
-    def _cy_spec(i):
-        if cy_shared:
-            return pl.BlockSpec(memory_space=pl.ANY)
-        return pl.BlockSpec((None,) + cy_ops[i].shape[1:],
-                            lambda *g: (gy(*g), 0, 0), memory_space=pltpu.VMEM)
-
-    def _cx_spec(i):
-        if cx_shared:
-            return pl.BlockSpec(memory_space=pl.ANY)
-        return pl.BlockSpec((None,) + cx_ops[i].shape[1:],
-                            lambda *g: (gx(*g), 0, 0), memory_space=pltpu.VMEM)
-
-    specs = [
-        *band_specs,
-        *[_cy_spec(i) for i in range(n_cy_in)],
-        *[_cx_spec(i) for i in range(n_cx_in)],
-        pl.BlockSpec((th, 1), lambda *g: (gy(*g), 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((th, 1), lambda *g: (gy(*g), 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tw), lambda *g: (0, gx(*g)), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tw), lambda *g: (0, gx(*g)), memory_space=pltpu.VMEM),
-    ]
-    out_spec = pl.BlockSpec((th, tw), lambda *g: (gy(*g), gx(*g)),
-                            memory_space=pltpu.VMEM)
-
-    scratch_shapes = []
-    if cy_shared or cx_shared:
-        if cy_shared:
-            scratch_shapes += [pltpu.VMEM(o.shape[1:], jnp.bfloat16)
-                               for o in cy_ops]
-        if cx_shared:
-            scratch_shapes += [pltpu.VMEM(o.shape[1:], jnp.bfloat16)
-                               for o in cx_ops]
-        n_copies = (n_cy_in if cy_shared else 0) + (n_cx_in if cx_shared else 0)
-        scratch_shapes.append(pltpu.SemaphoreType.DMA((n_copies,)))
-
-    call = pl.pallas_call(
-        kernel, grid=grid,
-        out_shape=jax.ShapeDtypeStruct((y.n_dst, x.n_dst), jnp.uint8),
-        in_specs=specs, out_specs=out_spec, interpret=interpret,
-        scratch_shapes=scratch_shapes,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )
-
-    def fn(*args):
-        *ops, src = args
-
-        def one(im):
-            v = jnp.pad(im, ((ty_ax.pad_lo, ty_ax.pad_hi),
-                             (tx_ax.pad_lo, tx_ax.pad_hi)))
-            return call(*([v] * n_band), *ops)
-
-        if src.ndim == 2:
-            return one(src)
-        batch_shape = src.shape[:-2]
-        flat = src.reshape((-1,) + src.shape[-2:])
-        out = jax.vmap(one)(flat)
-        return out.reshape(batch_shape + out.shape[-2:])
-
-    operands = (*cy_ops, *cx_ops, deno_y, border_y, deno_x, border_x)
-    return fn, operands
 
 
 # ---------------------------------------------------------------------------
@@ -928,13 +636,13 @@ def _auto_tiles_padless(plan: ResizePlan):
                                 x_band_eff=x_eff)
             if est > _VMEM_TILE_BUDGET:
                 continue
-            cost = max(flops / _MXU_RATE, dma / _DMA_RATE) \
-                + n_tiles * _STEP_OVERHEAD
+            mxu_r, step_r, dma_r, div_r = _tuner_rates()
+            cost = max(flops / mxu_r, dma / dma_r) + n_tiles * step_r
             # Y-border renorm divide: runs on the 2 edge tiles' full
             # (th, band_w) work — VPU int32 divide is slow enough
-            # (~1.6e10/s measured) that tall tiles pay measurably here
+            # (~1.6e10/s measured on v5e) that tall tiles pay measurably
             if plan.wrap16 and bool(y.is_border.any()) and py.n_tiles > 2:
-                cost += 2 * th_eff * px.band / 1.6e10
+                cost += 2 * th_eff * px.band / div_r
             cands.append((cost, th_eff, tw_eff))
     cands.sort()
     seen, ranked = set(), []
@@ -1009,12 +717,22 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     # work (measured 2.3x faster X pass on 4K lanczos3).  Y grouping is
     # skipped for force_streamed_y builds: sharding substitutes per-device
     # Y block VALUES whose nonzero taps could fall outside windows computed
-    # from this build's blocks — and for s8_y (i8 sub-window slicing risks
-    # Mosaic relayouts; the s8 plans auto-tune to short tiles where
-    # grouping declines anyway).
-    y_groups = None if (force_streamed_y or s8_y) else _pick_groups(
-        cy_src, out_is_m=True, other_dim=-(-band_w // 128),
-        grp_choices=(32, 64, 96), k_align=8)
+    # from this build's blocks.  For s8_y the group/window alignments honor
+    # the i8 layout granules (M-dim slices at 32-sublane multiples, K
+    # windows at 64 — Mosaic slices lanes at 64-offsets and i8 sublanes at
+    # 32-granularity without relayout).
+    import os as _os
+    _no_ygroup = bool(_os.environ.get("LIBIQO_TPU_NO_YGROUP"))
+    if force_streamed_y or _no_ygroup:
+        y_groups = None
+    elif s8_y:
+        y_groups = _pick_groups(
+            cy_src, out_is_m=True, other_dim=-(-band_w // 128),
+            grp_choices=(32, 64, 96), k_align=64)
+    else:
+        y_groups = _pick_groups(
+            cy_src, out_is_m=True, other_dim=-(-band_w // 128),
+            grp_choices=(32, 64, 96), k_align=8)
     x_groups = _pick_groups(
         cx_src, out_is_m=False, other_dim=th,
         grp_choices=(128, 256), k_align=64)
@@ -1034,20 +752,45 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
              for (o0, ol, k0, kl) in xg]
     # X scheme, in preference order (uniform across slabs):
     # * s8 4-dot (wrap16 plans whose taps split into s8 planes — lanczos
-    #   Q14 always does): w = 256a + b and c = 256e + f with a,b,e,f all
-    #   s8 balanced; sums = 65536(a@e) + 256(a@f + b@e) + b@f, exact in
-    #   int32 (i32 wraps == the C accumulator).  Measured 1.3x faster
-    #   than Karatsuba-bf16 (cheaper casts + s8 MXU rate) and needs no
-    #   f32 exactness bounds at all.
+    #   Q14 always does): the work rows split FLOOR-wise, w = 256a + b'
+    #   with a = w >> 8 (arithmetic shift: always in [-128, 127] for int16
+    #   w — the balanced split's hi plane hits +128 for w in [32640, 32767],
+    #   which an int8 cast wraps to -128, corrupting border rows whose
+    #   renorm wrap lands there) and b = b' - 128 rebased to s8; the
+    #   constant +128 contributes the static per-output-column correction
+    #   128 * colsum(c), folded in as the corr_x operand.  With c = 256e +
+    #   f balanced, sums = 65536(a@e) + 256(a@f + b@e) + b@f + corr_x,
+    #   exact in int32 (i32 wraps == the C accumulator).  Measured 1.3x
+    #   faster than Karatsuba-bf16 (cheaper casts + s8 MXU rate) and needs
+    #   no f32 exactness bounds at all.
     # * single exact bf16 plane (2 dots) when taps fit [-256, 256];
     # * balanced Karatsuba bf16 (3 dots; wrap16 only: the w-side balanced
-    #   split needs |a+b| <= 256 ⇔ |w| <= 32768);
-    # * hi/lo bf16 4-dot split otherwise (area/linear 16-bit work rows).
+    #   split needs |a+b| <= 256 ⇔ |w| <= 32768, and the coef-side bounds
+    #   of _kara_ok);
+    # * hi/lo bf16 4-dot split otherwise (area/linear 16-bit work rows,
+    #   and wrap16 plans whose pathological taps break the Karatsuba
+    #   coef bounds).
     x_s8 = (plan.wrap16
             and int(cx_src.min()) >= -32768 and int(cx_src.max()) <= 32639
             and not all(_single_plane_ok(s, axis=-2) for s in slabs))
     x_kara = (not x_s8 and plan.wrap16
-              and not all(_single_plane_ok(s, axis=-2) for s in slabs))
+              and not all(_single_plane_ok(s, axis=-2) for s in slabs)
+              and all(_kara_ok(s, axis=-2) for s in slabs))
+
+    # Mixed 3-dot s8/bf16 variant of the s8 scheme: Karatsuba the middle
+    # term, D_mid = (a+b)@(e+f) - a@e - b@f, with the (a+b)/(e+f) dot in
+    # bf16 (both operands fit bf16's exact [-256, 256]; |a+b| <= 256 for
+    # any int16 w under the floor split).  2 s8 dots + 1 bf16 dot beat
+    # 4 s8 dots when per-column sum|e+f| keeps the bf16 dot f32-exact:
+    # 256 * max_col sum|e+f| < 2**24.  Plans failing the gate (e.g.
+    # 274-tap extreme downscales) keep the unconditional 4-dot form.
+    def _mix_ok(s):
+        f = ((s + 128) & 255) - 128
+        e = (s - f) >> 8
+        return 256 * int(np.abs(e + f).sum(axis=-2).max()) < (1 << 24)
+
+    x_s8_mix = (x_s8 and not _os.environ.get("LIBIQO_TPU_X4")
+                and all(_mix_ok(s) for s in slabs))
     # exactness guard: the bf16 schemes need _exact_f32_ok's bounds;
     # plans admitted via _exact_s8_ok alone must land on the all-integer
     # schemes (force_streamed_y disables s8_y, so such builds refuse)
@@ -1061,7 +804,11 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         def s8_split(s):
             f = ((s + 128) & 255) - 128
             e = (s - f) >> 8
-            assert e.min() >= -128 and e.max() <= 127
+            if e.min() < -128 or e.max() > 127:   # guaranteed by the gate
+                raise ValueError("s8 coef hi plane out of range")
+            if x_s8_mix:
+                return (e.astype(np.int8), f.astype(np.int8),
+                        (e + f).astype(np.float32).astype(jnp.bfloat16))
             return (e.astype(np.int8), f.astype(np.int8))
         slab_planes = [s8_split(s) for s in slabs]
         cx_scale = None
@@ -1119,6 +866,15 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     deno_x[0, : x.n_dst] = np.where(x.deno == 0, 1, x.deno)
     border_x = np.zeros((1, n_cols_pad), np.int32)
     border_x[0, : x.n_dst] = x.is_border.astype(np.int32)
+    # s8 X floor-split correction: +128 * (column tap sum) per output,
+    # wrapped to i32 (mod-2**32 arithmetic throughout).  Columns past n_dst
+    # are masked on store, so 0 is fine.  Every nonzero tap of an output
+    # lands inside its window (asserted by _build_blocks_padless), so the
+    # block column sums equal the plan row sums.
+    corr_x = np.zeros((1, n_cols_pad), np.int32)
+    if x_s8:
+        cs = 128 * x.coef.astype(np.int64).sum(axis=1)
+        corr_x[0, : x.n_dst] = ((cs + 2**31) & (2**32 - 1)) - 2**31
 
     f32 = jnp.float32
     # dot operand dtype: bf16 on real TPU silicon; f32 under interpret
@@ -1170,13 +926,14 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         cy_in = refs[1:1 + n_cy]
         cx_in = refs[1 + n_cy:1 + n_cy + n_cx_ops]
         k0_ = 1 + n_cy + n_cx_ops
-        if s8_y:
-            dy_ref, by_ref, cr_ref, dx_ref, bx_ref, out_ref = \
-                refs[k0_:k0_ + 6]
-            scratch = refs[k0_ + 6:]
-        else:
-            dy_ref, by_ref, dx_ref, bx_ref, out_ref = refs[k0_:k0_ + 5]
-            scratch = refs[k0_ + 5:]
+        n_tail = 5 + int(s8_y) + int(x_s8)
+        tail = iter(refs[k0_:k0_ + n_tail])
+        scratch = refs[k0_ + n_tail:]
+        dy_ref, by_ref = next(tail), next(tail)
+        cr_ref = next(tail) if s8_y else None
+        dx_ref, bx_ref = next(tail), next(tail)
+        cxc_ref = next(tail) if x_s8 else None
+        out_ref = next(tail)
 
         if n_sc:
             sem = scratch[n_sc]
@@ -1213,8 +970,21 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         else:
             cy_vals = [r[...] for r in cy_in]
         if s8_y:
-            nume = jnp.dot(cy_vals[0], band_bf,
-                           preferred_element_type=jnp.int32) + cr_ref[...]
+            if y_groups is not None:
+                # block-banded s8 Y: each 32-row-multiple output group
+                # contracts only its 64-aligned band sub-window (i8 slices
+                # at these granules are relayout-free)
+                parts = []
+                for (o0, ol, k0, kl) in y_groups:
+                    parts.append(jnp.dot(
+                        cy_vals[0][o0:o0 + ol, k0:k0 + kl],
+                        band_bf[k0:k0 + kl, :],
+                        preferred_element_type=jnp.int32))
+                nume = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                        else parts[0]) + cr_ref[...]
+            else:
+                nume = jnp.dot(cy_vals[0], band_bf,
+                               preferred_element_type=jnp.int32) + cr_ref[...]
         elif y_groups is not None:
             # block-banded: output-row group g contracts only over its
             # band sub-window [k0, k0+kl)
@@ -1277,25 +1047,43 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         if x_s8:
             # 4 exact s8 dots (see scheme comment at build time); i32
             # accumulation wraps mod 2**32 exactly like the reference's C
-            # arithmetic, so no floating-point bounds apply
-            b = ((w + 128) & 255) - 128
-            a = (w - b) >> 8
+            # arithmetic, so no floating-point bounds apply.  Work split is
+            # FLOOR-wise: a = w >> 8 is always in [-128, 127] for int16 w
+            # (the balanced split's hi plane hits +128 for w in
+            # [32640, 32767] — reachable via the Y-border renorm wrap —
+            # and the int8 cast would wrap it to -128); the rebased low
+            # plane's +128 constant is the static cxc_ref correction.
+            a = w >> 8
+            b = (w & 255) - 128
             a8, b8 = a.astype(jnp.int8), b.astype(jnp.int8)
+            if x_s8_mix:
+                # |a+b| <= 256: exact in bf16; the D3 dot's f32 sums stay
+                # under 2**24 by the build-time _mix_ok gate
+                gb = (a + b).astype(dot_dt)
             parts = []
             for gi, (_o0, _ol, k0, kl) in enumerate(xg):
                 ce = cx_vals[0 * n_xg + gi]
                 cf = cx_vals[1 * n_xg + gi]
                 ae = jnp.dot(a8[:, k0:k0 + kl], ce,
                              preferred_element_type=jnp.int32)
-                af = jnp.dot(a8[:, k0:k0 + kl], cf,
-                             preferred_element_type=jnp.int32)
-                be = jnp.dot(b8[:, k0:k0 + kl], ce,
-                             preferred_element_type=jnp.int32)
                 bf_ = jnp.dot(b8[:, k0:k0 + kl], cf,
                               preferred_element_type=jnp.int32)
-                parts.append(ae * 65536 + (af + be) * 256 + bf_)
+                if x_s8_mix:
+                    cg = cx_vals[2 * n_xg + gi].astype(dot_dt)
+                    d3 = jnp.dot(gb[:, k0:k0 + kl], cg,
+                                 preferred_element_type=f32).astype(jnp.int32)
+                    # w*c = 65536*ae + 256*(af+be) + bf + corr with
+                    # af+be = d3 - ae - bf  =>  65280*ae - 255*bf + 256*d3
+                    parts.append(ae * 65280 - bf_ * 255 + d3 * 256)
+                else:
+                    af = jnp.dot(a8[:, k0:k0 + kl], cf,
+                                 preferred_element_type=jnp.int32)
+                    be = jnp.dot(b8[:, k0:k0 + kl], ce,
+                                 preferred_element_type=jnp.int32)
+                    parts.append(ae * 65536 + (af + be) * 256 + bf_)
             sums = (jnp.concatenate(parts, axis=1) if len(parts) > 1
                     else parts[0])
+            sums = sums + cxc_ref[...]
         elif x_kara:
             # balanced Karatsuba: w = a*256 + b (b in [-128,127]),
             # sum w*c = 65280*(a@e) - 255*(b@f) + 256*((a+b)@(e+f));
@@ -1427,6 +1215,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                         memory_space=pltpu.VMEM)] if s8_y else []),
         pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]), memory_space=pltpu.VMEM),
+        *([pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]),
+                        memory_space=pltpu.VMEM)] if x_s8 else []),
     ]
     out_spec = pl.BlockSpec((None, th, tw),
                             lambda *g: (g[0], g[g_y], g[g_x]),
@@ -1434,14 +1224,13 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
 
     scratch_shapes = []
     if n_sc:
+        # dtype per operand: s8 schemes carry int8 planes, bf16 schemes
+        # bf16 planes, and the mixed s8 X scheme a bf16 (e+f) plane next
+        # to its two int8 planes
         if y_res:
-            scratch_shapes += [pltpu.VMEM(o.shape,
-                                          jnp.int8 if s8_y else jnp.bfloat16)
-                               for o in cy_ops]
+            scratch_shapes += [pltpu.VMEM(o.shape, o.dtype) for o in cy_ops]
         if x_res:
-            scratch_shapes += [pltpu.VMEM(o.shape,
-                                          jnp.int8 if x_s8 else jnp.bfloat16)
-                               for o in cx_ops]
+            scratch_shapes += [pltpu.VMEM(o.shape, o.dtype) for o in cx_ops]
         scratch_shapes.append(pltpu.SemaphoreType.DMA((n_sc,)))
     if y_cond:
         # work staging for the conditional Y-border epilogue (always last)
@@ -1481,7 +1270,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         return out.reshape(batch_shape + out.shape[-2:])
 
     operands = (*cy_ops, *cx_ops, deno_y, border_y,
-                *((corr_y,) if s8_y else ()), deno_x, border_x)
+                *((corr_y,) if s8_y else ()), deno_x, border_x,
+                *((corr_x,) if x_s8 else ()))
     # layout metadata for shard_map callers (parallel/sharding.py):
     # n_cy/n_cx count OPERAND ARRAYS (X planes are pre-sliced per group)
     fn.n_cy, fn.n_cx = n_cy, n_cx_ops
@@ -1496,29 +1286,22 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
     """Build (fn, host_operands): fn(*operands, src) jittable over
     (..., src_h, src_w) u8 arrays (same contract as xla_resize).
 
-    ``mode``: "auto" prefers the padless kernel and falls back to the
-    padded one; "padless"/"padded" force a specific mode (padless raises if
-    infeasible).  LIBIQO_TPU_PADDED=1 forces padded globally.
+    There is exactly one kernel mode (padless); geometries it cannot build
+    raise ValueError and callers fall back to ops.xla_resize (api.py and
+    parallel/sharding.py catch it).  The legacy padded mode was removed in
+    round 3: it lacked the s8 schemes and an on-chip byte gate, and every
+    kernel the padless builder rejects is served exactly by the XLA path.
+    ``mode`` is kept for compatibility ("auto"/"padless" accepted).
     """
-    f32_ok = _plan_ok(plan, th_target, tw_target)
-    if not f32_ok and not _exact_s8_ok(plan):
+    if mode not in ("auto", "padless"):
+        raise ValueError(f"unknown pallas mode {mode!r} (padded mode was "
+                         "removed; use the xla backend instead)")
+    if not _plan_ok(plan, th_target, tw_target) and not _exact_s8_ok(plan):
         raise ValueError("plan not supported by the pallas path; use xla_resize")
-    import os
-
-    if mode == "auto" and os.environ.get("LIBIQO_TPU_PADDED") and f32_ok:
-        mode = "padded"
-    if mode in ("auto", "padless"):
-        built = _make_padless_fn(plan, interpret=interpret,
-                                 th_target=th_target, tw_target=tw_target,
-                                 grid_order=grid_order)
-        if built is not None:
-            return built
-        if mode == "padless":
-            raise ValueError("plan not supported by the padless pallas mode")
-    if not f32_ok:
-        # admitted via the s8 envelope only; the padded builder has no s8
-        # schemes, so there is nothing exact to fall back to here
-        raise ValueError("plan needs the s8 padless path (infeasible); "
-                         "use xla_resize")
-    return _make_padded_fn(plan, interpret=interpret, th_target=th_target,
-                           tw_target=tw_target, grid_order=grid_order)
+    built = _make_padless_fn(plan, interpret=interpret,
+                             th_target=th_target, tw_target=tw_target,
+                             grid_order=grid_order)
+    if built is None:
+        raise ValueError("pallas padless build infeasible for this plan "
+                         "(VMEM envelope); use xla_resize")
+    return built

@@ -53,16 +53,26 @@ def resize_batch_dp(plan: ResizePlan, frames, mesh: Mesh, axis: str = "data",
 
     Each device runs the fused Pallas kernel on its local batch shard via
     shard_map (XLA cannot partition a custom call by itself); no
-    collectives — outputs stay sharded.
+    collectives — outputs stay sharded.  Batches not divisible by the mesh
+    extent are zero-padded on the frame axis and sliced back (the analog
+    of OpenMP's any-count row striping).
     """
     from jax import shard_map
+
+    n = mesh.shape[axis]
+    b = frames.shape[0]
+    pad = -b % n
+    if pad:
+        pad_w = [(0, pad)] + [(0, 0)] * (frames.ndim - 1)
+        frames = (np.pad(frames, pad_w) if isinstance(frames, np.ndarray)
+                  else jnp.pad(frames, pad_w))
 
     kind, interpret = _local_backend(plan, backend)
     if kind == "pallas":
         try:
             fn, operands = pallas_resize.make_resize_fn(plan,
                                                         interpret=interpret)
-        except ValueError:     # s8-envelope plan, padless infeasible
+        except ValueError:     # padless build infeasible (VMEM envelope)
             fn, operands = xla_resize.make_resize_fn(plan)
     else:
         fn, operands = xla_resize.make_resize_fn(plan)
@@ -74,7 +84,8 @@ def resize_batch_dp(plan: ResizePlan, frames, mesh: Mesh, axis: str = "data",
     in_shard = NamedSharding(mesh, P(axis, None, None))
     frames = jax.device_put(frames, in_shard)
     ops = [jax.device_put(o, NamedSharding(mesh, P())) for o in operands]
-    return jax.jit(sm)(*ops, frames)
+    out = jax.jit(sm)(*ops, frames)
+    return out[:b] if pad else out
 
 
 def _row_shard_layout(plan: ResizePlan, n: int):
@@ -86,6 +97,7 @@ def _row_shard_layout(plan: ResizePlan, n: int):
     y = plan.y
     src_h, dst_h = y.n_src, y.n_dst
     if src_h % n or dst_h % n:
+        # make_row_sharded_fn pads the plan to divisibility before calling
         raise ValueError(f"src_h={src_h} and dst_h={dst_h} must divide the "
                          f"row-shard count {n}")
     hs, hd = src_h // n, dst_h // n
@@ -97,14 +109,8 @@ def _row_shard_layout(plan: ResizePlan, n: int):
                    for d in range(n)])
     halo_up = int(np.max(np.maximum(0, np.arange(n) * hs - lo)))
     halo_dn = int(np.max(np.maximum(0, hi - (np.arange(n) + 1) * hs)))
-    if halo_up > hs or halo_dn > hs:
-        # the single-hop ppermute below only reaches the immediate neighbor;
-        # a halo taller than one shard would silently under-fetch and fail
-        # with an opaque shape error at trace time
-        raise ValueError(
-            f"row-sharding halo ({halo_up} up / {halo_dn} down source rows) "
-            f"exceeds the per-device shard height {hs}; use fewer devices "
-            f"or a taller image (tap windows must fit a neighbor shard)")
+    # halos taller than one shard are fine: _halo_exchange chains ppermute
+    # hops to reach any distance
     # per-device Cy block over the (halo_up + hs + halo_dn) band
     band = halo_up + hs + halo_dn
     cy_full = plan.y.dense(np.int64)
@@ -121,20 +127,29 @@ def _row_shard_layout(plan: ResizePlan, n: int):
 def _halo_exchange(src, axis: str, n: int, halo_up: int, halo_dn: int):
     """Extend a device's local row shard with neighbor halos over ICI.
 
-    Wrapped edges (device 0's up-halo, device n-1's down-halo) are masked
-    to zero: the corresponding taps are zero too, matching the reference
-    dropping out-of-range taps at runtime.
+    Halos taller than one shard chain multiple ppermute hops: hop ``h``
+    carries the tail (up) / head (down) rows of the shard ``h`` devices
+    away, so any tap window is reachable regardless of the shard height.
+    Wrapped edges (rows that would come from before device 0 / after
+    device n-1) are masked to zero: the corresponding taps are zero too,
+    matching the reference dropping out-of-range taps at runtime.
     """
     idx = jax.lax.axis_index(axis)
-    parts = [src]
-    if halo_up:
-        tail = src[-halo_up:, :]
-        up = jax.lax.ppermute(tail, axis, [(i, (i + 1) % n) for i in range(n)])
-        parts.insert(0, jnp.where(idx > 0, up, jnp.zeros_like(up)))
-    if halo_dn:
-        head = src[:halo_dn, :]
-        dn = jax.lax.ppermute(head, axis, [(i, (i - 1) % n) for i in range(n)])
-        parts.append(jnp.where(idx < n - 1, dn, jnp.zeros_like(dn)))
+    hs = src.shape[0]
+    up_parts, dn_parts = [], []
+    for h in range(1, -(-halo_up // hs) + 1):
+        t = min(hs, halo_up - (h - 1) * hs)    # rows carried by hop h
+        piece = src[hs - t:, :]
+        moved = jax.lax.ppermute(piece, axis,
+                                 [(i, (i + h) % n) for i in range(n)])
+        up_parts.insert(0, jnp.where(idx >= h, moved, jnp.zeros_like(moved)))
+    for h in range(1, -(-halo_dn // hs) + 1):
+        t = min(hs, halo_dn - (h - 1) * hs)
+        piece = src[:t, :]
+        moved = jax.lax.ppermute(piece, axis,
+                                 [(i, (i - h) % n) for i in range(n)])
+        dn_parts.append(jnp.where(idx < n - h, moved, jnp.zeros_like(moved)))
+    parts = up_parts + [src] + dn_parts
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else src
 
 
@@ -201,9 +216,13 @@ def _make_row_sharded_pallas(plan: ResizePlan, mesh: Mesh, axis: str,
         deno_dev[d, :hd, 0] = np.where(y.deno[sl] == 0, 1, y.deno[sl])
         border_dev[d, :hd, 0] = y.is_border[sl].astype(np.int32)
 
-    rest = tmpl_ops[n_cy + n_cx:]                 # deno_y, border_y, dx, bx
+    # tail = (deno_y, border_y, deno_x, border_x[, corr_x]): the Y-side pair
+    # is replaced with per-device values; everything after is X-side and
+    # replicated verbatim (force_streamed_y disables s8_y, so no corr_y)
+    rest = tmpl_ops[n_cy + n_cx:]
     cx_ops = tmpl_ops[n_cy:n_cy + n_cx]
-    deno_x, border_x = rest[2], rest[3]
+    x_tail = rest[2:]
+    n_xt = len(x_tail)
 
     from jax import shard_map
 
@@ -212,29 +231,63 @@ def _make_row_sharded_pallas(plan: ResizePlan, mesh: Mesh, axis: str,
         cy = [o[0] for o in ops[:n_cy]]           # squeeze device dim
         cx = ops[n_cy:n_cy + n_cx]
         dy, by = ops[n_cy + n_cx][0], ops[n_cy + n_cx + 1][0]
-        dxo, bxo = ops[n_cy + n_cx + 2], ops[n_cy + n_cx + 3]
+        xt = ops[n_cy + n_cx + 2:]
 
         band = _halo_exchange(src, axis, n, halo_up, halo_dn)
-        return fn(*cy, *cx, dy, by, dxo, bxo, band)
+        return fn(*cy, *cx, dy, by, *xt, band)
 
     in_specs = (
         *[P(axis, None, None, None)] * n_cy,      # per-device Y blocks
         *[P()] * n_cx,                            # replicated X blocks
         P(axis, None, None),                      # deno_y
         P(axis, None, None),                      # border_y
-        P(), P(),                                 # deno_x, border_x
+        *[P()] * n_xt,                            # deno_x, border_x[, corr_x]
         P(axis, None),                            # src rows
     )
     sm = shard_map(local_fn, mesh=mesh, in_specs=in_specs,
                    out_specs=P(axis, None), check_vma=False)
-    operands = (*cy_dev, *cx_ops, deno_dev, border_dev, deno_x, border_x)
+    operands = (*cy_dev, *cx_ops, deno_dev, border_dev, *x_tail)
     return jax.jit(sm), operands
+
+
+def _pad_rows_plan(plan: ResizePlan, n: int):
+    """Extend a plan's Y axis so src_h and dst_h divide ``n``.
+
+    Padded source rows hold zeros and no real output's taps reach them
+    (taps past the true n_src are already clipped to zero in the plan);
+    padded output rows get all-zero tap rows and are sliced off by the
+    wrapper.  Returns (padded_plan, src_pad, dst_pad).
+    """
+    y = plan.y
+    src_pad = -y.n_src % n
+    dst_pad = -y.n_dst % n
+    if not src_pad and not dst_pad:
+        return plan, 0, 0
+    coef = np.concatenate(
+        [y.coef, np.zeros((dst_pad, y.num_coefs), y.coef.dtype)])
+    # pad starts repeat the last real window (kept in range so per-device
+    # band bounds stay tight); their taps are zero so values don't matter
+    start = np.concatenate(
+        [y.start, np.full(dst_pad, int(y.start[-1]) if y.n_dst else 0,
+                          y.start.dtype)])
+    deno = np.concatenate([y.deno, np.ones(dst_pad, y.deno.dtype)])
+    is_border = np.concatenate([y.is_border, np.zeros(dst_pad, bool)])
+    y_pad = dataclasses.replace(
+        y, n_src=y.n_src + src_pad, n_dst=y.n_dst + dst_pad,
+        coef=coef, start=start, deno=deno, is_border=is_border)
+    return dataclasses.replace(plan, y=y_pad), src_pad, dst_pad
 
 
 def make_row_sharded_fn(plan: ResizePlan, mesh: Mesh, axis: str = "row",
                         backend: str = "auto"):
     """Build a jitted (src_h, src_w) -> (dst_h, dst_w) resize with source
-    and output rows sharded over ``axis``; Y-pass halos move via ppermute.
+    and output rows sharded over ``axis``; Y-pass halos move via ppermute
+    (multi-hop when a tap window spans several shards).
+
+    Any height works: non-divisible src/dst heights are zero-padded to the
+    shard count with all-zero coefficient rows and sliced back after — the
+    analog of OpenMP striping handling any row count
+    (ref: src/IQOLanczosResizerImpl_AVX512.cpp:269-308).
 
     The per-device body is the fused Pallas kernel whenever the layout
     allows (the single-chip fast path inherits multi-chip scaling); the
@@ -242,6 +295,19 @@ def make_row_sharded_fn(plan: ResizePlan, mesh: Mesh, axis: str = "row",
 
     Returns (fn, operands): call fn(*operands, src) with src row-sharded.
     """
+    n_dev = mesh.shape[axis]
+    plan, src_pad, dst_pad = _pad_rows_plan(plan, n_dev)
+    if src_pad or dst_pad:
+        inner_fn, operands = make_row_sharded_fn(plan, mesh, axis, backend)
+        true_dst = plan.y.n_dst - dst_pad
+
+        def fn(*args):
+            *ops, src = args
+            src = jnp.pad(src, ((0, src_pad), (0, 0)))
+            return inner_fn(*ops, src)[:true_dst]
+
+        return jax.jit(fn), operands
+
     from jax import shard_map
 
     kind, interpret = _local_backend(plan, backend)

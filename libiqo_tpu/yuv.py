@@ -14,7 +14,8 @@ import numpy as np
 
 from .api import AreaResizer, LanczosResizer, LinearResizer, Resizer
 
-__all__ = ["YUV420Frame", "YUV420Resizer", "read_yuv420", "write_yuv420"]
+__all__ = ["YUV420Frame", "YUV420Resizer", "iter_yuv420", "read_yuv420",
+           "write_yuv420"]
 
 
 @dataclasses.dataclass
@@ -39,24 +40,32 @@ def _even(v: int) -> int:
     return (v + 1) & ~1
 
 
-def read_yuv420(path: str, width: int, height: int, frames: int | None = None):
-    """Read raw planar YUV420 frames (the sample's file format,
+def iter_yuv420(path: str, width: int, height: int,
+                frames: int | None = None):
+    """Stream raw planar YUV420 frames one at a time (constant memory —
+    the reference sample also reads frame-by-frame,
     ref: sample/resize_yuv420p.cpp:94-112)."""
     w, h = _even(width), _even(height)
     cw, ch = w // 2, h // 2
     frame_bytes = w * h + 2 * cw * ch
-    data = np.fromfile(path, dtype=np.uint8)
-    n = len(data) // frame_bytes
-    if frames is not None:
-        n = min(n, frames)
-    out = []
-    for i in range(n):
-        f = data[i * frame_bytes:(i + 1) * frame_bytes]
-        y = f[: w * h].reshape(h, w)
-        u = f[w * h: w * h + cw * ch].reshape(ch, cw)
-        v = f[w * h + cw * ch:].reshape(ch, cw)
-        out.append(YUV420Frame(y, u, v))
-    return out
+    n = 0
+    with open(path, "rb") as fp:
+        while frames is None or n < frames:
+            buf = fp.read(frame_bytes)
+            if len(buf) < frame_bytes:
+                return
+            f = np.frombuffer(buf, dtype=np.uint8)
+            yield YUV420Frame(
+                y=f[: w * h].reshape(h, w),
+                u=f[w * h: w * h + cw * ch].reshape(ch, cw),
+                v=f[w * h + cw * ch:].reshape(ch, cw))
+            n += 1
+
+
+def read_yuv420(path: str, width: int, height: int, frames: int | None = None):
+    """Read raw planar YUV420 frames into a list (convenience wrapper over
+    :func:`iter_yuv420`; use the iterator for giant files)."""
+    return list(iter_yuv420(path, width, height, frames))
 
 
 def write_yuv420(path: str, frames) -> None:

@@ -1,5 +1,5 @@
 """Unit tests for pallas kernel internals: window layout invariants,
-coefficient-block construction (padless + legacy extrapolation), variant
+coefficient-block construction, variant
 dedup, and the compiled-executable LRU cache."""
 
 import numpy as np
@@ -60,46 +60,6 @@ def test_padless_variant_dedup():
         var_of[t] = vv
     for t in range(p.n_tiles):
         np.testing.assert_array_equal(v.uniq[var_of[t]], blocks[t])
-
-
-def test_legacy_unclipped_extrapolation_consistency():
-    """Legacy padded mode: _build_blocks' phase-affine extrapolation past
-    n_dst and the _unclipped_coef sibling search must reproduce, for every
-    REAL output row, exactly the plan's taps at window positions
-    (zero-padding supplies the clipped zeros)."""
-    plan = build_plan("lanczos", 640, 480, 512, 384, degree=3)
-    y = plan.y
-    t_ax, base = pr._tile_axis(y, 96, 32)
-    blocks = pr._build_blocks(y, t_ax, base, transpose=False)
-    for t in range(t_ax.n_tiles):
-        off = base + t_ax.step * t
-        for k in range(t_ax.tile):
-            d = t * t_ax.tile + k
-            if d >= y.n_dst:
-                continue  # padded rows: masked on store, anything goes
-            row = np.zeros(t_ax.band, np.int64)
-            for i in range(y.num_coefs):
-                j = int(y.start[d]) + t_ax.pad_lo - off + i
-                if 0 <= j < t_ax.band:
-                    src = int(y.start[d]) + i
-                    if 0 <= src < y.n_src:
-                        row[j] += int(y.coef[d, i])
-                    else:
-                        row[j] += pr._unclipped_coef(y, d, i)
-            np.testing.assert_array_equal(blocks[t, k], row, err_msg=f"t{t} k{k}")
-
-
-def test_unclipped_coef_fallback_when_no_interior_sibling():
-    """When no fully-interior sibling phase exists, _unclipped_coef falls
-    back to the clipped tap — safe only because such rows' padded reads are
-    never stored; assert the fallback path is exercised and returns the
-    stored (clipped) value."""
-    # tiny geometry: every output window touches a border
-    plan = build_plan("lanczos", 8, 8, 4, 4, degree=3)
-    y = plan.y
-    d = 0
-    assert int(y.start[d]) < 0  # row 0's window starts OOB
-    assert pr._unclipped_coef(y, d, 0) == int(y.coef[d, 0])
 
 
 def test_compiled_cache_lru_bound():
@@ -167,6 +127,21 @@ def test_grouped_dot_equals_monolithic():
         [w[:, k0:k0 + kl] @ C[k0:k0 + kl, o0:o0 + ol]
          for (o0, ol, k0, kl) in groups], axis=1)
     np.testing.assert_array_equal(got, full)
+
+
+def test_tuner_default_rates_build_valid_kernels(monkeypatch):
+    """Unknown device kinds fall back to conservative tuner rates; the
+    cost model only ranks tile candidates, so kernels stay exact."""
+    from libiqo_tpu.golden import numpy_ref
+
+    monkeypatch.setattr(pr, "_tuner_rates", lambda: pr._TUNER_DEFAULT)
+    plan = build_plan("lanczos", 480, 360, 240, 180, degree=3)
+    fn, ops = pr.make_resize_fn(plan, interpret=True)
+    src = RNG.integers(0, 256, (360, 480), np.uint8)
+    import jax
+
+    got = np.asarray(jax.jit(fn)(*ops, src))
+    np.testing.assert_array_equal(got, numpy_ref.resize_u8(plan, src))
 
 
 def test_pick_groups_declines_when_band_is_tight():

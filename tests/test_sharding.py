@@ -119,6 +119,56 @@ def test_yuv_step_odd_dims():
         np.testing.assert_array_equal(np.asarray(ov)[i], numpy_ref.resize_u8(pc, v[i]))
 
 
+def test_row_sharded_odd_height_pads():
+    """Non-divisible heights ride the pad-and-slice wrapper: 237 source
+    rows / 119 output rows on an 8-device mesh (neither divides 8)."""
+    mesh = _mesh((8,), ("row",))
+    plan = build_plan("lanczos", 320, 237, 160, 119, degree=3)
+    src = RNG.integers(0, 256, (237, 320), np.uint8)
+    fn, operands = sharding.make_row_sharded_fn(plan, mesh)
+    out = np.asarray(fn(*operands, src))
+    assert out.shape == (119, 160)
+    np.testing.assert_array_equal(out, numpy_ref.resize_u8(plan, src))
+
+
+def test_row_sharded_multi_hop_halo():
+    """A tap window spanning several shards (halo > shard height) must
+    chain ppermute hops: area 512->16 rows on 8 devices gives 64-row
+    source shards but 32-tap windows on 2-row output shards whose band
+    reaches across at least two neighbors at the edges."""
+    mesh = _mesh((8,), ("row",))
+    plan = build_plan("area", 128, 512, 64, 16)
+    hs = 512 // 8
+    assert plan.y.num_coefs * 1 >= hs // 2  # window genuinely wide
+    src = RNG.integers(0, 256, (512, 128), np.uint8)
+    fn, operands = sharding.make_row_sharded_fn(plan, mesh)
+    np.testing.assert_array_equal(np.asarray(fn(*operands, src)),
+                                  numpy_ref.resize_u8(plan, src))
+
+
+def test_row_sharded_halo_taller_than_shard():
+    """Extreme downscale where one output row's window covers more source
+    rows than a whole shard (multi-hop halos, both directions)."""
+    mesh = _mesh((8,), ("row",))
+    plan = build_plan("area", 64, 256, 32, 4)        # 64-tap windows, hs=32
+    assert plan.y.num_coefs > 256 // 8
+    src = RNG.integers(0, 256, (256, 64), np.uint8)
+    fn, operands = sharding.make_row_sharded_fn(plan, mesh)
+    np.testing.assert_array_equal(np.asarray(fn(*operands, src)),
+                                  numpy_ref.resize_u8(plan, src))
+
+
+def test_batch_dp_non_divisible_batch():
+    """dp with batch % mesh != 0 pads the frame axis and slices back."""
+    mesh = _mesh((8,), ("data",))
+    plan = build_plan("lanczos", 128, 96, 64, 48, degree=3)
+    frames = RNG.integers(0, 256, (13, 96, 128), np.uint8)
+    out = np.asarray(sharding.resize_batch_dp(plan, frames, mesh))
+    assert out.shape[0] == 13
+    for i in range(13):
+        np.testing.assert_array_equal(out[i], numpy_ref.resize_u8(plan, frames[i]))
+
+
 def test_padded_resize_batch_preserves_jax_arrays():
     """YUV420Resizer with odd dst dims must not force device->host syncs
     for jax-array batches (the zero pad stays a device op)."""

@@ -142,14 +142,20 @@ def _single_plane_ok(blocks: np.ndarray, axis: int) -> bool:
     """True when one bf16 plane represents ``blocks`` exactly AND every dot
     against 8-bit operands stays within f32's exact integer range.
 
-    bf16's 8-bit mantissa represents every signed integer in [-256, 256]
-    exactly (sign is free), so the single-plane gate is NOT [0, 255]: Q6
-    Lanczos Y taps (signed) and Q8 Area Y taps (max 256) both qualify —
-    halving the Y-pass MXU work vs a hi/lo byte split.  Exactness of the
-    accumulation needs per-output |tap|-sums (along the contraction
-    ``axis``) <= 2**24/255."""
-    return (int(blocks.min()) >= -256 and int(blocks.max()) <= 256
-            and int(np.abs(blocks).sum(axis=axis).max()) <= (1 << 24) // 255)
+    The gate is exact bf16 REPRESENTABILITY, not a magnitude range: every
+    integer in [-256, 256] qualifies (8-bit mantissa, sign free) — Q6
+    Lanczos Y taps and Q8 Area Y taps — but so do larger values with <= 8
+    significant bits, e.g. the 2**15 full-weight tap of an identity axis
+    or the 8192s of an exact-4:1 Area axis.  bf16 x bf16 products are
+    always f32-exact (16 mantissa bits), so accumulation exactness only
+    needs per-output |tap|-sums (along the contraction ``axis``)
+    <= 2**24/255 (8-bit other operand)."""
+    bf = blocks.astype(np.float32).astype(jnp.bfloat16)
+    if not np.array_equal(np.asarray(bf, np.float32),
+                          blocks.astype(np.float32)):
+        return False
+    return int(np.abs(blocks.astype(np.int64)).sum(axis=axis).max()) \
+        <= (1 << 24) // 255
 
 
 def _byte_planes(blocks: np.ndarray, axis: int = -1):
@@ -310,9 +316,7 @@ def _tuner_rates():
 def _est_coef_single(ax: AxisPlan) -> bool:
     """Cost-model estimate of _single_plane_ok from the plan's coefficient
     table (the dense blocks carry the same values)."""
-    c = ax.coef.astype(np.int64)
-    return (c.min() >= -256 and c.max() <= 256
-            and int(np.abs(c).sum(axis=1).max()) <= (1 << 24) // 255)
+    return _single_plane_ok(ax.coef.astype(np.int64), axis=1)
 
 
 def _auto_tiles(plan: ResizePlan):
@@ -372,6 +376,47 @@ def _exact_s8_ok(plan: ResizePlan) -> bool:
             and int(x.coef.min()) >= -32768 and int(x.coef.max()) <= 32639)
 
 
+def _u16_work_ok(plan: ResizePlan) -> bool:
+    """Whether a non-wrap16 plan's work rows provably stay in u16:
+    unsigned Y taps with per-row sums <= 256 give w <= 255*256 = 65280
+    (area/linear Q8 sums are exactly 256 by adjustCoefs,
+    ref: src/IQOAreaResizerImpl_Generic.cpp:222-248).  The u16 range is
+    what makes the X work-side u8 byte split exact for the s8 scheme."""
+    y = plan.y
+    return (int(y.coef.min()) >= 0
+            and int(y.coef.astype(np.int64).sum(axis=1).max()) <= 256)
+
+
+def _exact_s8x_ok(plan: ResizePlan) -> bool:
+    """Non-wrap16 extension of the all-integer s8 X scheme: work rows in
+    u16 (see _u16_work_ok) split into two u8 planes, both rebased to s8
+    with the static correction 128*257*colsum(c); coefficients split
+    like the wrap16 case (the [-32768, 32639] cap keeps the balanced hi
+    plane inside int8 — area's lone full-weight tap 32768 is the one
+    excluded value).  i32 accumulation wraps mod 2**32 like the C
+    accumulator, so tap counts and sums are unrestricted (this is what
+    admits 512-tap area extreme downscales that overflow the bf16
+    byte-plane bounds).  The Y side must also be exact: nonneg Q8 taps
+    <= 256 are single-bf16-plane exact (any integer in [-256, 256] is
+    bf16-exact and row sums <= 256 keep f32 sums < 2**24)."""
+    x = plan.x
+    return (not plan.wrap16 and _u16_work_ok(plan)
+            and int(x.coef.min()) >= -32768 and int(x.coef.max()) <= 32639)
+
+
+def _exact_single_ok(plan: ResizePlan) -> bool:
+    """Both axes exactly served by single bf16 coefficient planes (see
+    _single_plane_ok — bf16-exact values, bounded sums; tap count
+    unrestricted).  Covers e.g. identity axes (one 2**15 tap) and exact
+    power-of-two Area ratios with huge tap counts.  Non-wrap16 plans
+    additionally need the u16 work guarantee so the X pass's work-side
+    byte split is exact."""
+    if not (plan.wrap16 or _u16_work_ok(plan)):
+        return False
+    return (_single_plane_ok(plan.y.coef.astype(np.int64), axis=1)
+            and _single_plane_ok(plan.x.coef.astype(np.int64), axis=1))
+
+
 def _exact_f32_ok(plan: ResizePlan) -> bool:
     """Exactness bounds of the bf16 byte-plane / Karatsuba schemes."""
     for ax in (plan.y, plan.x):
@@ -408,7 +453,9 @@ def supports_plan(plan: ResizePlan, th_target: int = 0,
     module docstring); otherwise callers use ops.xla_resize.
     th/tw_target of 0 = auto-tuned tile sizes."""
     return (_plan_ok(plan, th_target, tw_target)
-            or _exact_s8_ok(plan))
+            or _exact_s8_ok(plan)
+            or _exact_s8x_ok(plan)
+            or _exact_single_ok(plan))
 
 
 # ---------------------------------------------------------------------------
@@ -584,12 +631,11 @@ def _auto_tiles_padless(plan: ResizePlan):
     r_sh, r_dh = _reduced(y)
     r_sw, r_dw = _reduced(x)
     n_cy = 1 if _est_coef_single(y) else 2
-    # X: single exact plane -> 2 dots over 1 plane; Karatsuba (wrap16
-    # only) -> 3 dots over 3 planes; hi/lo -> 4 dots over 2 planes
+    # X: single exact plane -> 2 dots over 1 plane; s8 4-dot (the
+    # default for 16-bit taps, wrap16 or u16-work) -> 4 dots over 2
+    # int8 planes; Karatsuba bf16 / hi-lo split otherwise
     if _est_coef_single(x):
         n_dx, n_px = 2, 1
-    elif plan.wrap16:
-        n_dx, n_px = 3, 3
     else:
         n_dx, n_px = 4, 2
     cands = []
@@ -770,34 +816,40 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     # * hi/lo bf16 4-dot split otherwise (area/linear 16-bit work rows,
     #   and wrap16 plans whose pathological taps break the Karatsuba
     #   coef bounds).
-    x_s8 = (plan.wrap16
+    # NOTE: a 2-dot "f32-unsplit" X scheme (split only the work side,
+    # keep the 15-bit int coefficients whole as f32 operands) was built
+    # and then measured on chip to be (a) SLOWER than the 4 s8 dots
+    # (1.00 vs 0.65 us per application — Mosaic's default-precision f32
+    # dot runs as bf16 passes, not a cheap native f32) and (b) INEXACT:
+    # the bf16 truncation of the f32 operands drops the coefficients'
+    # low 7 bits (scripts/exp_x_schemes.py, f32_2dot exact: False).  A
+    # native s16 MXU dot does not compile either (Mosaic INTERNAL
+    # error).  The s8 4-dot scheme is the endgame for 16-bit X taps.
+    x_single = all(_single_plane_ok(s, axis=-2) for s in slabs)
+    # u16-work plans (area/linear, see _u16_work_ok) take the same s8
+    # scheme with BOTH work planes rebased u8 -> s8; the extra constant
+    # folds into the static per-column correction (factor 257 vs 1).
+    x_u8work = not plan.wrap16 and _u16_work_ok(plan)
+    x_s8 = ((plan.wrap16 or x_u8work)
             and int(cx_src.min()) >= -32768 and int(cx_src.max()) <= 32639
-            and not all(_single_plane_ok(s, axis=-2) for s in slabs))
+            and not x_single)
     x_kara = (not x_s8 and plan.wrap16
-              and not all(_single_plane_ok(s, axis=-2) for s in slabs)
+              and not x_single
               and all(_kara_ok(s, axis=-2) for s in slabs))
-
-    # Mixed 3-dot s8/bf16 variant of the s8 scheme: Karatsuba the middle
-    # term, D_mid = (a+b)@(e+f) - a@e - b@f, with the (a+b)/(e+f) dot in
-    # bf16 (both operands fit bf16's exact [-256, 256]; |a+b| <= 256 for
-    # any int16 w under the floor split).  2 s8 dots + 1 bf16 dot beat
-    # 4 s8 dots when per-column sum|e+f| keeps the bf16 dot f32-exact:
-    # 256 * max_col sum|e+f| < 2**24.  Plans failing the gate (e.g.
-    # 274-tap extreme downscales) keep the unconditional 4-dot form.
-    def _mix_ok(s):
-        f = ((s + 128) & 255) - 128
-        e = (s - f) >> 8
-        return 256 * int(np.abs(e + f).sum(axis=-2).max()) < (1 << 24)
-
-    x_s8_mix = (x_s8 and not _os.environ.get("LIBIQO_TPU_X4")
-                and all(_mix_ok(s) for s in slabs))
+    # A mixed 3-dot s8/bf16 variant (Karatsuba middle term in bf16) was
+    # measured 10% SLOWER than the 4 s8 dots on 4K lanczos3 (0.0753 vs
+    # 0.0684 ms/frame): the (a+b) i32->bf16 cast of the full work tile
+    # costs more than the saved s8 dot at the tuned short tiles.  The
+    # unconditional 4-dot form stays the only s8 X scheme.
     # exactness guard: the bf16 schemes need _exact_f32_ok's bounds;
-    # plans admitted via _exact_s8_ok alone must land on the all-integer
-    # schemes (force_streamed_y disables s8_y, so such builds refuse)
+    # plans admitted via the _exact_s8*_ok gates alone must land on
+    # self-contained exact schemes: the all-integer s8 X (or a single
+    # exact bf16 X plane) plus an s8 or single-bf16-plane Y
+    # (force_streamed_y disables s8_y, so such builds refuse)
     if not _exact_f32_ok(plan):
-        x_int_exact = x_s8 or all(_single_plane_ok(s, axis=-2)
-                                  for s in slabs)
-        if not (s8_y and x_int_exact):
+        if not (x_s8 or x_single):
+            return None
+        if not (s8_y or _single_plane_ok(cy_src, axis=-1)):
             return None
 
     if x_s8:
@@ -806,9 +858,6 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             e = (s - f) >> 8
             if e.min() < -128 or e.max() > 127:   # guaranteed by the gate
                 raise ValueError("s8 coef hi plane out of range")
-            if x_s8_mix:
-                return (e.astype(np.int8), f.astype(np.int8),
-                        (e + f).astype(np.float32).astype(jnp.bfloat16))
             return (e.astype(np.int8), f.astype(np.int8))
         slab_planes = [s8_split(s) for s in slabs]
         cx_scale = None
@@ -837,10 +886,10 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
            + 2 * th * tw                # u8 out, double buffered
            + 4 * th * band_w * 3        # i32 work + bf16 byte splits
            + 4 * th * tw * 4)           # f32 dot temps
-    est += sum(int(np.prod(o.shape[(0 if y_res else 1):])) * 2 * (1 if y_res else 2)
-               for o in cy_ops)
-    est += sum(int(np.prod(o.shape[(0 if x_res else 1):])) * 2 * (1 if x_res else 2)
-               for o in cx_ops)
+    est += sum(int(np.prod(o.shape[(0 if y_res else 1):]))
+               * o.dtype.itemsize * (1 if y_res else 2) for o in cy_ops)
+    est += sum(int(np.prod(o.shape[(0 if x_res else 1):]))
+               * o.dtype.itemsize * (1 if x_res else 2) for o in cx_ops)
     if est > _VMEM_TILE_BUDGET:
         return None
 
@@ -873,7 +922,11 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     # block column sums equal the plan row sums.
     corr_x = np.zeros((1, n_cols_pad), np.int32)
     if x_s8:
-        cs = 128 * x.coef.astype(np.int64).sum(axis=1)
+        # wrap16: only the low work plane is rebased (-128) => +128*colsum;
+        # u16-work: both planes rebased => +128*(256+1)*colsum.  Wrapped to
+        # i32 (mod-2**32 arithmetic throughout).
+        factor = 128 * 257 if x_u8work else 128
+        cs = factor * x.coef.astype(np.int64).sum(axis=1)
         corr_x[0, : x.n_dst] = ((cs + 2**31) & (2**32 - 1)) - 2**31
 
     f32 = jnp.float32
@@ -1053,34 +1106,24 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             # [32640, 32767] — reachable via the Y-border renorm wrap —
             # and the int8 cast would wrap it to -128); the rebased low
             # plane's +128 constant is the static cxc_ref correction.
-            a = w >> 8
+            # u16-work plans (x_u8work) rebase BOTH planes: a = (w>>8) -
+            # 128 with the extra 128*256*colsum folded into cxc_ref.
+            a = (w >> 8) - 128 if x_u8work else w >> 8
             b = (w & 255) - 128
             a8, b8 = a.astype(jnp.int8), b.astype(jnp.int8)
-            if x_s8_mix:
-                # |a+b| <= 256: exact in bf16; the D3 dot's f32 sums stay
-                # under 2**24 by the build-time _mix_ok gate
-                gb = (a + b).astype(dot_dt)
             parts = []
             for gi, (_o0, _ol, k0, kl) in enumerate(xg):
                 ce = cx_vals[0 * n_xg + gi]
                 cf = cx_vals[1 * n_xg + gi]
                 ae = jnp.dot(a8[:, k0:k0 + kl], ce,
                              preferred_element_type=jnp.int32)
+                af = jnp.dot(a8[:, k0:k0 + kl], cf,
+                             preferred_element_type=jnp.int32)
+                be = jnp.dot(b8[:, k0:k0 + kl], ce,
+                             preferred_element_type=jnp.int32)
                 bf_ = jnp.dot(b8[:, k0:k0 + kl], cf,
                               preferred_element_type=jnp.int32)
-                if x_s8_mix:
-                    cg = cx_vals[2 * n_xg + gi].astype(dot_dt)
-                    d3 = jnp.dot(gb[:, k0:k0 + kl], cg,
-                                 preferred_element_type=f32).astype(jnp.int32)
-                    # w*c = 65536*ae + 256*(af+be) + bf + corr with
-                    # af+be = d3 - ae - bf  =>  65280*ae - 255*bf + 256*d3
-                    parts.append(ae * 65280 - bf_ * 255 + d3 * 256)
-                else:
-                    af = jnp.dot(a8[:, k0:k0 + kl], cf,
-                                 preferred_element_type=jnp.int32)
-                    be = jnp.dot(b8[:, k0:k0 + kl], ce,
-                                 preferred_element_type=jnp.int32)
-                    parts.append(ae * 65536 + (af + be) * 256 + bf_)
+                parts.append(ae * 65536 + (af + be) * 256 + bf_)
             sums = (jnp.concatenate(parts, axis=1) if len(parts) > 1
                     else parts[0])
             sums = sums + cxc_ref[...]
@@ -1296,7 +1339,8 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
     if mode not in ("auto", "padless"):
         raise ValueError(f"unknown pallas mode {mode!r} (padded mode was "
                          "removed; use the xla backend instead)")
-    if not _plan_ok(plan, th_target, tw_target) and not _exact_s8_ok(plan):
+    if not (_plan_ok(plan, th_target, tw_target) or _exact_s8_ok(plan)
+            or _exact_s8x_ok(plan) or _exact_single_ok(plan)):
         raise ValueError("plan not supported by the pallas path; use xla_resize")
     built = _make_padless_fn(plan, interpret=interpret,
                              th_target=th_target, tw_target=tw_target,

@@ -1,0 +1,111 @@
+"""Measure this chip's practical HBM streaming ceiling for the resize
+kernel's access pattern (u8 tiles in, u8 tiles out).
+
+The resize kernel's wall is max(MXU, DMA); knowing the DMA ceiling tells
+us whether further MXU-side work can pay off.  Three kernels:
+
+  copy      — (th, W) u8 tiles in -> same out (read+write symmetric)
+  readsum   — (th, W) u8 tiles in -> (th, 128) u8 out (read-dominated,
+              the resize kernel's shape: 10.4 MB read, 2 MB written)
+  resize4k  — the actual 4K lanczos3 kernel, for reference
+
+Timed via the two-point in-jit slope (cancels the tunnel sync RTT).
+
+Run: python scripts/exp_dma_ceiling.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H, W = 2160, 3840
+TH = 216
+
+
+def make_copy():
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    return pl.pallas_call(
+        kernel, grid=(H // TH,),
+        in_specs=[pl.BlockSpec((TH, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TH, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.uint8))
+
+
+def make_readsum():
+    def kernel(x_ref, o_ref):
+        v = x_ref[...].astype(jnp.int32)
+        o_ref[...] = v[:, :128].astype(jnp.uint8) ^ v[:, 128:256].astype(jnp.uint8)
+
+    return pl.pallas_call(
+        kernel, grid=(H // TH,),
+        in_specs=[pl.BlockSpec((TH, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TH, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, 128), jnp.uint8))
+
+
+def slope_time(call, x, bytes_per_app):
+    def make_run(inner):
+        def run(x):
+            def body(i, carry):
+                x, acc = carry
+                x = jax.lax.dynamic_update_slice(
+                    x, i.astype(jnp.uint8).reshape(1, 1), (0, 0))
+                o = call(x)
+                return x, acc ^ o[:8, :128]
+            _, acc = jax.lax.fori_loop(0, inner, body,
+                                       (x, jnp.zeros((8, 128), jnp.uint8)))
+            return acc[0, 0]
+        return jax.jit(run)
+
+    # the two-point slope needs >= 40 ms of marginal work or the tunnel
+    # RTT jitter (+-1-2 ms) swamps it (memory: round-2 harness rules)
+    times = {}
+    for inner in (16, 528):
+        r = make_run(inner)
+        int(r(x))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(r(x))
+            best = min(best, time.perf_counter() - t0)
+        times[inner] = best
+    dt = (times[528] - times[16]) / 512
+    return dt, bytes_per_app / dt / 1e9
+
+
+def main() -> None:
+    assert jax.devices()[0].platform == "tpu"
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.integers(0, 256, (H, W), np.uint8))
+
+    dt, gbs = slope_time(jax.jit(make_copy()), x, 2 * H * W)
+    print(f"copy     : {dt*1e6:8.1f} us  {gbs:6.1f} GB/s (r+w)", flush=True)
+    dt, gbs = slope_time(jax.jit(make_readsum()), x, H * W)
+    print(f"readsum  : {dt*1e6:8.1f} us  {gbs:6.1f} GB/s (read)", flush=True)
+
+    from libiqo_tpu.core.plan import build_plan
+    from libiqo_tpu.ops import pallas_resize
+    plan = build_plan("lanczos", 3840, 2160, 1920, 1080, degree=3)
+    fn, ops = pallas_resize.make_resize_fn(plan)
+    dops = tuple(jax.device_put(o) for o in ops)
+    io_bytes = H * W + 1920 * 1080
+    dt, gbs = slope_time(jax.jit(lambda s: fn(*dops, s)), x, io_bytes)
+    print(f"resize4k : {dt*1e6:8.1f} us  {gbs:6.1f} GB/s (io est)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

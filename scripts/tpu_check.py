@@ -43,6 +43,9 @@ STRESS = [
     ("lanczos", 256, 70, 256, 5, dict(degree=3)),   # border-wrap w hi-range
     ("area", 4096, 2160, 1024, 540, {}),            # 4K-wide area 4:1
     ("linear", 97, 61, 291, 183, {}),
+    ("area", 8192, 4, 16, 4, {}),        # 512-tap s8x (u16-work s8 X)
+    ("area", 16, 4096, 16, 31, {}),      # identity X: single 2**15 bf16 tap
+    ("linear", 640, 480, 321, 241, {}),  # odd linear up: messy Q15 s8x taps
 ]
 # NOT in STRESS: area 4096x4096->128x128 (32:1) — its per-tile band blows
 # the Pallas VMEM envelope by design; it takes the exact XLA fallback,

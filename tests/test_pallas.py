@@ -66,15 +66,34 @@ def test_prime_geometry_supported():
     _run("linear", {}, 97, 61, 31, 23)
 
 
-def test_unsupported_geometry_falls_back():
-    # > 258 taps per output overflows the byte-plane exactness bound
+def test_512_tap_area_on_fast_path():
+    """512 taps per output exceeds the byte-plane bound (258) but the
+    f32-unsplit X scheme covers it (area Q15 tap sums are exactly 32768
+    <= 65535, tap count unrestricted) — this geometry used to be the
+    canonical XLA-fallback case and now runs on the kernel."""
+    import jax
+
     plan = build_plan("area", 8192, 4, 16, 4)
-    assert not pallas_resize.supports_plan(plan)
-    # api falls back transparently to the XLA path
+    assert pallas_resize.supports_plan(plan)
+    fn, ops = pallas_resize.make_resize_fn(plan, interpret=True)
+    src = RNG.integers(0, 256, (4, 8192), np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(fn)(*ops, src)), numpy_ref.resize_u8(plan, src))
+
+
+def test_unsupported_geometry_falls_back():
+    # the coefficient-exactness gates now cover every plan the oracle
+    # accepts; the remaining pallas rejection is a VMEM-infeasible build
+    # (200k source rows => the band blows the per-tile budget), which
+    # raises ValueError and the api falls back transparently to XLA
+    plan = build_plan("area", 16, 200000, 16, 31)
+    assert pallas_resize.supports_plan(plan)   # gates pass...
+    with pytest.raises(ValueError):
+        pallas_resize.make_resize_fn(plan, interpret=True)  # ...build can't
     from libiqo_tpu import AreaResizer
 
-    r = AreaResizer(8192, 4, 16, 4, backend="pallas")
-    src = RNG.integers(0, 256, (4, 8192), np.uint8)
+    r = AreaResizer(16, 200000, 16, 31, backend="pallas")
+    src = RNG.integers(0, 256, (200000, 16), np.uint8)
     np.testing.assert_array_equal(
         r.resize(src), numpy_ref.resize_u8(plan, src))
 

@@ -9,8 +9,11 @@ Measurement notes for this environment:
   are slow, so the timed region is an in-jit fori_loop over K batched
   resizes (each iteration's input perturbed by one byte to defeat CSE,
   outputs xor-folded into a tiny slice), synced once by a 1-byte transfer;
-* reported value is the best rep (min-time), matching the reference's
-  min-of-256-cycles convention;
+* the reported value is the SLOPE between two inner iteration counts
+  (each the best of 3 reps, matching the reference's min-of-cycles
+  convention): the slope cancels the tunnel-sync RTT, which is an
+  environment artifact, not framework cost — `ms_per_frame_with_sync`
+  in the JSON keeps the single-sync raw number;
 * baseline = the reference built on this host (AVX512, single core,
   6.786 ms/YUV-frame => 1222 Mpix/s luma-in; see BASELINE.md).
 
@@ -36,10 +39,11 @@ def main() -> None:
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     batch = 16 if on_tpu else 1
-    # the single host sync costs ~31 ms through the axon tunnel (measured,
-    # scripts/perf_probe.py); 64 in-jit iterations x 16 frames amortize it
-    # to ~0.03 ms/frame so the reported number is kernel throughput
-    inner = 64 if on_tpu else 2
+    # two-point slope: the single host sync costs ~31 ms through the axon
+    # tunnel (measured, scripts/perf_probe.py); timing the loop at two
+    # inner counts and taking the slope cancels it exactly.  The count
+    # delta (72 iterations x 16 frames x ~0.12 ms) dwarfs RTT jitter.
+    inner_lo, inner_hi = (24, 96) if on_tpu else (1, 2)
     reps = 3 if on_tpu else 1
 
     r = YUV420Resizer("lanczos3", SRC_W, SRC_H, DST_W, DST_H,
@@ -58,44 +62,54 @@ def main() -> None:
     lfn, lops = luma._jitted, luma._operands
     cfn, cops = chroma._jitted, chroma._operands
 
-    def run(y, u, v):
-        # y and uv are loop-carried and perturbed by one byte per iteration:
-        # the in-place dynamic_update_slice is free, and the data dependency
-        # keeps EVERY plane's resize inside the loop — without it XLA hoists
-        # the loop-invariant calls and the chroma cost silently vanishes
-        # from the measurement (observed once the padless kernel landed).
-        uv = jnp.concatenate([u, v])  # U+V share a plan: one fused call
+    def make_run(inner):
+        def run(y, u, v):
+            # y and uv are loop-carried and perturbed by one byte per
+            # iteration: the in-place dynamic_update_slice is free, and the
+            # data dependency keeps EVERY plane's resize inside the loop —
+            # without it XLA hoists the loop-invariant calls and the chroma
+            # cost silently vanishes from the measurement (observed once
+            # the padless kernel landed).
+            uv = jnp.concatenate([u, v])  # U+V share a plan: one fused call
 
-        def body(i, carry):
-            y, uv, acc = carry
-            ib = i.astype(jnp.uint8).reshape(1, 1, 1)
-            y = jax.lax.dynamic_update_slice(y, ib, (0, 0, 0))
-            uv = jax.lax.dynamic_update_slice(uv, ib, (0, 0, 0))
-            oy = lfn(*lops, y)
-            ouv = cfn(*cops, uv)
-            return y, uv, (acc ^ oy[:, :8, :128] ^ ouv[:batch, :8, :128]
-                           ^ ouv[batch:, :8, :128])
-        _, _, acc = jax.lax.fori_loop(
-            0, inner, body,
-            (y, uv, jnp.zeros((batch, 8, 128), jnp.uint8)))
-        return acc[0, 0, 0]
+            def body(i, carry):
+                y, uv, acc = carry
+                ib = i.astype(jnp.uint8).reshape(1, 1, 1)
+                y = jax.lax.dynamic_update_slice(y, ib, (0, 0, 0))
+                uv = jax.lax.dynamic_update_slice(uv, ib, (0, 0, 0))
+                oy = lfn(*lops, y)
+                ouv = cfn(*cops, uv)
+                return y, uv, (acc ^ oy[:, :8, :128] ^ ouv[:batch, :8, :128]
+                               ^ ouv[batch:, :8, :128])
+            _, _, acc = jax.lax.fori_loop(
+                0, inner, body,
+                (y, uv, jnp.zeros((batch, 8, 128), jnp.uint8)))
+            return acc[0, 0, 0]
 
-    jrun = jax.jit(run)
-    int(jrun(y, u, v))  # compile + warm
-    best = float("inf")
-    frames = batch * inner
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        int(jrun(y, u, v))
-        best = min(best, (time.perf_counter() - t0) / frames)
+        return jax.jit(run)
 
-    luma_mpix_s = SRC_W * SRC_H / best / 1e6
+    best = {}
+    for inner in (inner_lo, inner_hi):
+        jrun = make_run(inner)
+        int(jrun(y, u, v))  # compile + warm
+        t = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(jrun(y, u, v))
+            t = min(t, time.perf_counter() - t0)
+        best[inner] = t
+    per_frame = ((best[inner_hi] - best[inner_lo])
+                 / ((inner_hi - inner_lo) * batch))
+    with_sync = best[inner_hi] / (inner_hi * batch)
+
+    luma_mpix_s = SRC_W * SRC_H / per_frame / 1e6
     print(json.dumps({
         "metric": "4K->1080p lanczos3 YUV420 luma-input Mpix/s/chip",
         "value": round(luma_mpix_s, 1),
         "unit": "Mpix/s",
         "vs_baseline": round(luma_mpix_s / BASELINE_LUMA_MPIX_S, 2),
-        "ms_per_frame": round(best * 1e3, 3),
+        "ms_per_frame": round(per_frame * 1e3, 4),
+        "ms_per_frame_with_sync": round(with_sync * 1e3, 4),
         "batch": batch,
         "platform": platform,
         "backend": luma.resolved_backend(),

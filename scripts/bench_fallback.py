@@ -26,11 +26,18 @@ sys.path.insert(0, ".")
 
 CASES = [
     # name, algorithm, sw, sh, dw, dh, kwargs
-    ("area 512-tap X (dense f32)", "area", 8192, 256, 16, 256, {}),
-    ("area 2Kx2K->64 (dense f32, 2 axes)", "area", 2048, 2048, 64, 64, {}),
-    ("area 16K wide (banded X)", "area", 16384, 512, 4096, 512, {}),
-    ("lanczos3 16K wide (banded X)", "lanczos", 16384, 512, 4096, 512,
-     dict(degree=3)),
+    # The one geometry class still outside the kernel envelope after the
+    # round-3 s8/single-plane generalizations: a 65536-wide 4096-tap area
+    # downscale whose X band blows the VMEM tile budget.
+    ("area 64K wide, 4096 taps (real fallback)", "area",
+     65536, 16, 16, 16, {}),
+    # In-envelope geometries forced through XLA, to quantify the cliff a
+    # user would hit by passing backend="xla" explicitly:
+    ("area 512-tap X (in envelope now)", "area", 8192, 256, 16, 256, {}),
+    ("lanczos3 16K wide (in envelope now)", "lanczos", 16384, 512,
+     4096, 512, dict(degree=3)),
+    ("lanczos3 4K->1080p (the headline config)", "lanczos", 3840, 2160,
+     1920, 1080, dict(degree=3)),
 ]
 
 
@@ -57,6 +64,8 @@ def main() -> None:
         out = np.asarray(jax.jit(fn)(*dops, src))
         exact = np.array_equal(out, numpy_ref.resize_u8(plan, src))
 
+        fh, fw = min(4, dh), min(64, dw)
+
         def make_run(inner):
             def run(x):
                 def body(i, carry):
@@ -64,9 +73,9 @@ def main() -> None:
                     x = jax.lax.dynamic_update_slice(
                         x, i.astype(jnp.uint8).reshape(1, 1), (0, 0))
                     o = fn(*dops, x)
-                    return x, acc ^ o[:4, :64]
+                    return x, acc ^ o[:fh, :fw]
                 _, acc = jax.lax.fori_loop(
-                    0, inner, body, (x, jnp.zeros((4, 64), jnp.uint8)))
+                    0, inner, body, (x, jnp.zeros((fh, fw), jnp.uint8)))
                 return acc[0, 0]
             return jax.jit(run)
 

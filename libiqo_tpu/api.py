@@ -117,14 +117,31 @@ def _default_backend() -> str:
     return "pallas" if platform == "tpu" else "xla"
 
 
-class Resizer:
-    """Base resizer bound to one geometry and one algorithm."""
+_PRECISIONS = ("exact", "relaxed")
 
-    def __init__(self, plan: ResizePlan, backend: str = "auto"):
+
+class Resizer:
+    """Base resizer bound to one geometry and one algorithm.
+
+    ``precision``: ``"exact"`` (default) is byte-identical to the
+    reference Generic implementation; ``"relaxed"`` opts into the
+    ~2x-faster relaxed-precision pallas kernel (measured max error ~2 LSB
+    — the TPU analog of the reference's own SIMD float paths, which also
+    diverge from their Generic: up to ~13 LSB, SURVEY §3.3).  Non-pallas
+    backends always compute exactly; relaxed plans the kernel refuses
+    (overflow guard) silently use the exact path.
+    """
+
+    def __init__(self, plan: ResizePlan, backend: str = "auto",
+                 precision: str = "exact"):
         if backend not in _BACKENDS:
             raise ValueError(f"backend must be one of {_BACKENDS}, got {backend!r}")
+        if precision not in _PRECISIONS:
+            raise ValueError(
+                f"precision must be one of {_PRECISIONS}, got {precision!r}")
         self._plan = plan
         self._backend = backend
+        self._precision = precision
         self._jitted = None       # compiled fn for the lazy device path
         self._operands = None     # device-resident tables
 
@@ -150,7 +167,7 @@ class Resizer:
     def _ensure_compiled(self, backend: str):
         if self._jitted is not None:
             return
-        key = (self._plan.cache_key(), backend)
+        key = (self._plan.cache_key(), backend, self._precision)
         cached = _cache_get(key)
         if cached is not None:
             self._jitted, self._operands = cached
@@ -162,14 +179,24 @@ class Resizer:
         if backend == "pallas":
             from .ops import pallas_resize
 
-            if pallas_resize.supports_plan(self._plan):
+            relaxed = self._precision == "relaxed"
+            if pallas_resize.supports_plan(self._plan, relaxed=relaxed):
+                interpret = jax.devices()[0].platform != "tpu"
+                try:
+                    fn, operands = pallas_resize.make_resize_fn(
+                        self._plan, interpret=interpret, relaxed=relaxed)
+                except ValueError:
+                    # plans whose padless build is infeasible (VMEM
+                    # envelope, or the relaxed overflow guard) — retry
+                    # the exact kernel, then the exact XLA path
+                    fn = operands = None
+            if fn is None and relaxed \
+                    and pallas_resize.supports_plan(self._plan):
                 interpret = jax.devices()[0].platform != "tpu"
                 try:
                     fn, operands = pallas_resize.make_resize_fn(
                         self._plan, interpret=interpret)
                 except ValueError:
-                    # plans whose padless build is infeasible (VMEM
-                    # envelope) — fall back to the exact XLA path
                     fn = operands = None
             # geometries outside the fast path fall back to the exact
             # XLA formulation (the analog of the reference's Generic
@@ -254,11 +281,11 @@ class LanczosResizer(Resizer):
 
     def __init__(self, degree: int, src_w: int, src_h: int,
                  dst_w: int, dst_h: int, px_scale: int = 1,
-                 backend: str = "auto"):
+                 backend: str = "auto", precision: str = "exact"):
         super().__init__(
             build_plan("lanczos", src_w, src_h, dst_w, dst_h,
                        degree=degree, px_scale=px_scale),
-            backend,
+            backend, precision,
         )
 
 
@@ -267,13 +294,15 @@ class AreaResizer(Resizer):
     (ref: include/libiqo/AreaResizer.hpp:20-27)."""
 
     def __init__(self, src_w: int, src_h: int, dst_w: int, dst_h: int,
-                 backend: str = "auto"):
-        super().__init__(build_plan("area", src_w, src_h, dst_w, dst_h), backend)
+                 backend: str = "auto", precision: str = "exact"):
+        super().__init__(build_plan("area", src_w, src_h, dst_w, dst_h),
+                         backend, precision)
 
 
 class LinearResizer(Resizer):
     """Bilinear resampler (ref: include/libiqo/LinearResizer.hpp:20-27)."""
 
     def __init__(self, src_w: int, src_h: int, dst_w: int, dst_h: int,
-                 backend: str = "auto"):
-        super().__init__(build_plan("linear", src_w, src_h, dst_w, dst_h), backend)
+                 backend: str = "auto", precision: str = "exact"):
+        super().__init__(build_plan("linear", src_w, src_h, dst_w, dst_h),
+                         backend, precision)

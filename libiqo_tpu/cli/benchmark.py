@@ -69,6 +69,9 @@ def main(argv=None) -> int:
                     help="streaming pipeline mode: N numpy frames through "
                          "the device in --batch chunks, transfers overlapped "
                          "with compute")
+    ap.add_argument("--precision", default="exact",
+                    choices=["exact", "relaxed"],
+                    help="relaxed = opt-in ~2 LSB fast kernel")
     ap.add_argument("--oracle", choices=["cv", "pil"], default=None)
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the timed region")
@@ -87,7 +90,8 @@ def main(argv=None) -> int:
         chunk = args.batch or 16
         n_chunks = max(2, -(-args.stream // chunk))
         r = YUV420Resizer(args.m, args.iw, args.ih, args.ow, args.oh,
-                          backend=args.backend)
+                          backend=args.backend,
+                          precision=args.precision)
         # distinct frame contents per chunk (nothing cacheable), generated
         # outside the timed region — the timed pipeline is upload + resize
         # + download for every frame
@@ -124,7 +128,8 @@ def main(argv=None) -> int:
 
         import jax
         r = YUV420Resizer(args.m, args.iw, args.ih, args.ow, args.oh,
-                          backend=args.backend)
+                          backend=args.backend,
+                          precision=args.precision)
         y, u, v = _rand_planes(args.iw, args.ih, args.batch)
         dy, du, dv = (jax.device_put(a) for a in (y, u, v))
         oy, ou, ov = r.resize_batch(dy, du, dv)
@@ -154,13 +159,15 @@ def main(argv=None) -> int:
     r = None
     if args.amortized:
         r = YUV420Resizer(args.m, args.iw, args.ih, args.ow, args.oh,
-                          backend=args.backend)
+                          backend=args.backend,
+                          precision=args.precision)
         r.resize(frame)  # compile outside the timed region
     best = float("inf")
     for _ in range(args.cycles):
         t0 = time.perf_counter()
         rr = r or YUV420Resizer(args.m, args.iw, args.ih, args.ow, args.oh,
-                                backend=args.backend)
+                                backend=args.backend,
+                                precision=args.precision)
         out = rr.resize(frame)
         best = min(best, time.perf_counter() - t0)
     mode = "amortized" if args.amortized else "per-cycle construction"

@@ -169,6 +169,32 @@ def _byte_planes(blocks: np.ndarray, axis: int = -1):
     return (hi, lo), (256, 1)
 
 
+def _bf16_relaxed_plane(blocks: np.ndarray) -> np.ndarray:
+    """Round an int16-scale coefficient slab to ONE bf16 plane for the
+    relaxed-precision X scheme (precision="relaxed"): values keep 8
+    significant bits (error <= 2**-9 relative), then each output COLUMN's
+    sum is repaired toward its exact integer sum by nudging the
+    largest-magnitude tap (re-rounded to bf16 each iteration) — the bf16
+    analog of adjustCoefs' exact-sum repair (ref:
+    src/IQOLanczosResizerImpl_Generic.cpp:341-367), which keeps flat
+    fields ~drift-free (residual column-sum error <= ~1 ulp of the
+    largest tap, < 0.15 LSB at Q14 scale).  Contraction axis is -2
+    (K x N slabs, outputs on the last axis)."""
+    target = blocks.astype(np.float64).sum(axis=-2)
+    bf = blocks.astype(np.float32).astype(jnp.bfloat16)
+    for _ in range(4):
+        f = bf.astype(np.float64)
+        resid = target - f.sum(axis=-2)
+        if not resid.any():
+            break
+        idx = np.abs(f).argmax(axis=-2)[..., None, :]
+        np.put_along_axis(
+            f, idx, np.take_along_axis(f, idx, axis=-2)
+            + resid[..., None, :], axis=-2)
+        bf = f.astype(np.float32).astype(jnp.bfloat16)
+    return bf
+
+
 def _kara_ok(blocks: np.ndarray, axis: int) -> bool:
     """Whether the balanced Karatsuba split (see _kara_planes) is exact for
     these coefficient blocks.  Fails for pathological px_scale phases whose
@@ -448,11 +474,13 @@ def _plan_ok(plan: ResizePlan, th_target: int, tw_target: int) -> bool:
 
 
 def supports_plan(plan: ResizePlan, th_target: int = 0,
-                  tw_target: int = 0) -> bool:
+                  tw_target: int = 0, relaxed: bool = False) -> bool:
     """True when the fused kernel path handles this plan exactly (see
     module docstring); otherwise callers use ops.xla_resize.
-    th/tw_target of 0 = auto-tuned tile sizes."""
-    return (_plan_ok(plan, th_target, tw_target)
+    th/tw_target of 0 = auto-tuned tile sizes.  ``relaxed`` plans have no
+    numeric gates (only the VMEM envelope, checked at build time)."""
+    return (relaxed
+            or _plan_ok(plan, th_target, tw_target)
             or _exact_s8_ok(plan)
             or _exact_s8x_ok(plan)
             or _exact_single_ok(plan))
@@ -623,7 +651,7 @@ def _padless_vmem(th, tw, band_h, band_w, n_cy, n_cx,
     return est
 
 
-def _auto_tiles_padless(plan: ResizePlan):
+def _auto_tiles_padless(plan: ResizePlan, relaxed: bool = False):
     """Tile choice for the padless kernel: minimize max(MXU, DMA) time with
     exact-coverage and phase-affinity preferences (affine tiles collapse to
     ~3 resident variants; others stream per-tile blocks)."""
@@ -631,10 +659,13 @@ def _auto_tiles_padless(plan: ResizePlan):
     r_sh, r_dh = _reduced(y)
     r_sw, r_dw = _reduced(x)
     n_cy = 1 if _est_coef_single(y) else 2
-    # X: single exact plane -> 2 dots over 1 plane; s8 4-dot (the
-    # default for 16-bit taps, wrap16 or u16-work) -> 4 dots over 2
-    # int8 planes; Karatsuba bf16 / hi-lo split otherwise
-    if _est_coef_single(x):
+    # X: relaxed -> 1 rounded-bf16 dot over 1 plane; single exact plane
+    # -> 2 dots over 1 plane; s8 4-dot (the default for 16-bit taps,
+    # wrap16 or u16-work) -> 4 dots over 2 int8 planes; Karatsuba bf16 /
+    # hi-lo split otherwise
+    if relaxed:
+        n_dx, n_px = 1, 1
+    elif _est_coef_single(x):
         n_dx, n_px = 2, 1
     else:
         n_dx, n_px = 4, 2
@@ -701,7 +732,8 @@ def _auto_tiles_padless(plan: ResizePlan):
 
 def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                      th_target: int = 0, tw_target: int = 0,
-                     grid_order: str = "xy", force_streamed_y: bool = False):
+                     grid_order: str = "xy", force_streamed_y: bool = False,
+                     relaxed: bool = False):
     """Padless-mode builder (see module docstring).  Returns None when the
     geometry doesn't fit this mode's VMEM envelope (caller falls back).
 
@@ -709,6 +741,10 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     streamed operands (no resident variant dedup) so callers can substitute
     per-device block values under shard_map (parallel/sharding.py); the
     returned ``fn`` carries layout metadata attributes for that use.
+
+    ``relaxed`` builds the opt-in relaxed-precision X scheme (one rounded
+    bf16 dot instead of 4 exact s8 dots; ~2 LSB max error — see the
+    x_relaxed comment below).  The Y pass stays exact.
     """
     y, x = plan.y, plan.x
     if th_target and tw_target:
@@ -717,11 +753,12 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     else:
         # the tuner's VMEM model is approximate — walk its ranked
         # candidates until one actually builds
-        for th_c, tw_c in _auto_tiles_padless(plan):
+        for th_c, tw_c in _auto_tiles_padless(plan, relaxed=relaxed):
             built = _make_padless_fn(plan, interpret=interpret,
                                      th_target=th_c, tw_target=tw_c,
                                      grid_order=grid_order,
-                                     force_streamed_y=force_streamed_y)
+                                     force_streamed_y=force_streamed_y,
+                                     relaxed=relaxed)
             if built is not None:
                 return built
         return None
@@ -825,15 +862,38 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     # low 7 bits (scripts/exp_x_schemes.py, f32_2dot exact: False).  A
     # native s16 MXU dot does not compile either (Mosaic INTERNAL
     # error).  The s8 4-dot scheme is the endgame for 16-bit X taps.
-    x_single = all(_single_plane_ok(s, axis=-2) for s in slabs)
+    # RELAXED precision (opt-in, precision="relaxed"): ONE bf16 dot per
+    # group — w and the 16-bit coefs both rounded to bf16 (8-bit
+    # mantissa), f32 accumulation.  Not byte-exact: measured max error
+    # 2.2 LSB / mean 0.35 on the shootout harness
+    # (scripts/exp_x_schemes.py bf16_1dot) — the TPU analog of the
+    # reference's own SIMD float paths, which also diverge from Generic
+    # (up to ~13 LSB, SURVEY §3.3; they normalize float taps by division,
+    # ref: src/IQOLanczosResizerImpl_AVX512.cpp:177-185).  Measured ~FREE
+    # on the MXU relative to the 4 s8 dots (0.32 vs 0.72 us/application
+    # incl. harness floor 0.33).  Coefficient planes get a per-output
+    # column-sum repair so flat fields stay ~drift-free.
+    x_relaxed = bool(relaxed)
+    if x_relaxed:
+        # the relaxed epilogue casts the f32 sums to i32: refuse plans
+        # whose worst-case |w| * per-output sum|c| could overflow 2**31
+        # (and plans with unbounded work rows) — they fall back to the
+        # exact schemes / XLA instead of silently corrupting
+        wmax = 32767 if plan.wrap16 else (
+            65280 if _u16_work_ok(plan) else None)
+        csum = int(np.abs(x.coef.astype(np.int64)).sum(axis=1).max())
+        if wmax is None or wmax * csum >= 2**31:
+            return None
+    x_single = (not x_relaxed
+                and all(_single_plane_ok(s, axis=-2) for s in slabs))
     # u16-work plans (area/linear, see _u16_work_ok) take the same s8
     # scheme with BOTH work planes rebased u8 -> s8; the extra constant
     # folds into the static per-column correction (factor 257 vs 1).
     x_u8work = not plan.wrap16 and _u16_work_ok(plan)
-    x_s8 = ((plan.wrap16 or x_u8work)
+    x_s8 = (not x_relaxed and (plan.wrap16 or x_u8work)
             and int(cx_src.min()) >= -32768 and int(cx_src.max()) <= 32639
             and not x_single)
-    x_kara = (not x_s8 and plan.wrap16
+    x_kara = (not x_relaxed and not x_s8 and plan.wrap16
               and not x_single
               and all(_kara_ok(s, axis=-2) for s in slabs))
     # A mixed 3-dot s8/bf16 variant (Karatsuba middle term in bf16) was
@@ -846,13 +906,16 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     # self-contained exact schemes: the all-integer s8 X (or a single
     # exact bf16 X plane) plus an s8 or single-bf16-plane Y
     # (force_streamed_y disables s8_y, so such builds refuse)
-    if not _exact_f32_ok(plan):
+    if not _exact_f32_ok(plan) and not x_relaxed:
         if not (x_s8 or x_single):
             return None
         if not (s8_y or _single_plane_ok(cy_src, axis=-1)):
             return None
 
-    if x_s8:
+    if x_relaxed:
+        slab_planes = [(_bf16_relaxed_plane(s),) for s in slabs]
+        cx_scale = None
+    elif x_s8:
         def s8_split(s):
             f = ((s + 128) & 255) - 128
             e = (s - f) >> 8
@@ -1127,6 +1190,19 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             sums = (jnp.concatenate(parts, axis=1) if len(parts) > 1
                     else parts[0])
             sums = sums + cxc_ref[...]
+        elif x_relaxed:
+            # relaxed precision: one rounded-bf16 dot per group, f32
+            # accumulation; |sums| < 2**31 so the i32 cast is safe and
+            # the shared rounding/border epilogue below applies unchanged
+            wb = w.astype(dot_dt)
+            parts = []
+            for gi, (_o0, _ol, k0, kl) in enumerate(xg):
+                cc = cx_vals[gi].astype(dot_dt)
+                parts.append(jnp.dot(wb[:, k0:k0 + kl], cc,
+                                     preferred_element_type=f32)
+                             .astype(jnp.int32))
+            sums = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                    else parts[0])
         elif x_kara:
             # balanced Karatsuba: w = a*256 + b (b in [-128,127]),
             # sum w*c = 65280*(a@e) - 255*(b@f) + 256*((a+b)@(e+f));
@@ -1325,7 +1401,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
 
 def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
                    th_target: int = 0, tw_target: int = 0,
-                   grid_order: str = "xy", mode: str = "auto"):
+                   grid_order: str = "xy", mode: str = "auto",
+                   relaxed: bool = False):
     """Build (fn, host_operands): fn(*operands, src) jittable over
     (..., src_h, src_w) u8 arrays (same contract as xla_resize).
 
@@ -1335,16 +1412,19 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
     round 3: it lacked the s8 schemes and an on-chip byte gate, and every
     kernel the padless builder rejects is served exactly by the XLA path.
     ``mode`` is kept for compatibility ("auto"/"padless" accepted).
+
+    ``relaxed`` builds the opt-in relaxed-precision variant (~2 LSB max
+    error, ~2x faster X pass — the analog of the reference's SIMD float
+    paths; see _make_padless_fn).
     """
     if mode not in ("auto", "padless"):
         raise ValueError(f"unknown pallas mode {mode!r} (padded mode was "
                          "removed; use the xla backend instead)")
-    if not (_plan_ok(plan, th_target, tw_target) or _exact_s8_ok(plan)
-            or _exact_s8x_ok(plan) or _exact_single_ok(plan)):
+    if not supports_plan(plan, th_target, tw_target, relaxed=relaxed):
         raise ValueError("plan not supported by the pallas path; use xla_resize")
     built = _make_padless_fn(plan, interpret=interpret,
                              th_target=th_target, tw_target=tw_target,
-                             grid_order=grid_order)
+                             grid_order=grid_order, relaxed=relaxed)
     if built is None:
         raise ValueError("pallas padless build infeasible for this plan "
                          "(VMEM envelope); use xla_resize")

@@ -86,7 +86,8 @@ class YUV420Resizer:
     """
 
     def __init__(self, method: str, src_w: int, src_h: int,
-                 dst_w: int, dst_h: int, backend: str = "auto"):
+                 dst_w: int, dst_h: int, backend: str = "auto",
+                 precision: str = "exact"):
         # The reference sample resizes the Y plane at its TRUE (possibly
         # odd) dimensions and evens only the buffer strides; chroma
         # resizers are constructed from the evened strides (stX/2, not
@@ -102,20 +103,22 @@ class YUV420Resizer:
         if method.startswith("lanczos"):
             degree = int(method[len("lanczos"):] or 3)
             # chroma planes use px_scale=2 (ref: sample/resize_yuv420p.cpp:159)
-            self._luma: Resizer = LanczosResizer(degree, src_w, src_h,
-                                                 dst_w, dst_h, backend=backend)
+            self._luma: Resizer = LanczosResizer(
+                degree, src_w, src_h, dst_w, dst_h, backend=backend,
+                precision=precision)
             self._chroma: Resizer = LanczosResizer(
                 degree, sw // 2, sh // 2, dw // 2, dh // 2, px_scale=2,
-                backend=backend)
+                backend=backend, precision=precision)
         elif method == "area":
-            self._luma = AreaResizer(src_w, src_h, dst_w, dst_h, backend=backend)
+            self._luma = AreaResizer(src_w, src_h, dst_w, dst_h,
+                                     backend=backend, precision=precision)
             self._chroma = AreaResizer(sw // 2, sh // 2, dw // 2, dh // 2,
-                                       backend=backend)
+                                       backend=backend, precision=precision)
         elif method == "linear":
             self._luma = LinearResizer(src_w, src_h, dst_w, dst_h,
-                                       backend=backend)
+                                       backend=backend, precision=precision)
             self._chroma = LinearResizer(sw // 2, sh // 2, dw // 2, dh // 2,
-                                         backend=backend)
+                                         backend=backend, precision=precision)
         else:
             raise ValueError(f"unknown method {method!r} "
                              "(linear | area | lanczos[1-9])")

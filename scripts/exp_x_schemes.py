@@ -119,6 +119,20 @@ def body_of(variant, w, cvals):
             outs.append(jnp.dot(a[:, k0:k1], c,
                                 preferred_element_type=jnp.int32))
         return jnp.concatenate(outs, axis=1)
+    if variant == "bf16_1dot":
+        # RELAXED-precision candidate (not byte-exact): w and the Q14
+        # coefs both rounded to bf16 (8-bit mantissa), ONE dot with f32
+        # accumulation.  Expected error <= ~1.5 LSB after >>20 (w rounding
+        # <= 64 x sum|c| ~ 2^14.4, coef rounding 2^-9 relative) — the
+        # analog of the reference's own SIMD float paths, which diverge
+        # from Generic too (SURVEY §3.3).
+        a = w.astype(jnp.bfloat16)
+        for gi, (k0, k1) in enumerate(WINDOWS):
+            c = cvals["cbf"][gi]
+            outs.append(jnp.dot(a[:, k0:k1], c,
+                                preferred_element_type=jnp.float32)
+                        .astype(jnp.int32))
+        return jnp.concatenate(outs, axis=1)
     raise ValueError(variant)
 
 
@@ -162,10 +176,15 @@ def build_cvals(variant):
         cv = {"cf32": C.astype(np.float32)}
     elif variant == "s16_1dot":
         cv = {"c16": C.astype(np.int16)}
+    elif variant == "bf16_1dot":
+        cv = {"cbf": C.astype(np.float32)}
     elif variant == "empty":
         cv = {"cf32": C.astype(np.float32)}
-    return {k: [jnp.asarray(v[g]) for g in range(N_G)]
-            for k, v in cv.items()}
+    out = {k: [jnp.asarray(v[g]) for g in range(N_G)]
+           for k, v in cv.items()}
+    if "cbf" in out:
+        out["cbf"] = [a.astype(jnp.bfloat16) for a in out["cbf"]]
+    return out
 
 
 def bench(variant, reps=5):
@@ -239,10 +258,33 @@ def check_s16_exact():
               flush=True)
 
 
+def check_bf16_error():
+    """Max error of the relaxed bf16 1-dot scheme, in output LSB units
+    (one U8 LSB = 2**20 in the pre-shift i32 sum domain)."""
+    cvals = build_cvals("bf16_1dot")
+
+    def kernel(w_ref, *refs):
+        out_ref = refs[-1]
+        cv = {"cbf": [r[...] for r in refs[:N_G]]}
+        out_ref[...] = body_of("bf16_1dot", w_ref[...], cv)
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + N_G),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((TH, TW), jnp.int32))
+    got = np.asarray(jax.jit(call)(jnp.asarray(W16), *cvals["cbf"]))
+    err = np.abs(got.astype(np.int64) - gold().astype(np.int64))
+    print(f"bf16_1dot max err: {err.max() / 2**20:.3f} LSB "
+          f"(mean {err.mean() / 2**20:.4f})", flush=True)
+
+
 if __name__ == "__main__":
     print("platform:", jax.devices()[0].platform, flush=True)
     bench("empty")
-    for v in ("s8_4dot", "s8_2dot_cat", "f32_2dot", "s16_1dot"):
+    for v in ("s8_4dot", "s8_2dot_cat", "f32_2dot", "s16_1dot",
+              "bf16_1dot"):
         bench(v)
     check_f32_exact()
     check_s16_exact()
+    check_bf16_error()

@@ -1,0 +1,105 @@
+"""Opt-in relaxed-precision kernel (precision="relaxed"): one rounded
+bf16 X dot instead of the 4 exact s8 dots.  NOT byte-exact by design —
+the TPU analog of the reference's own SIMD float paths, which also
+diverge from their Generic (up to ~13 LSB, SURVEY §3.3; they normalize
+float taps by division, ref: src/IQOLanczosResizerImpl_AVX512.cpp:177-185).
+Contract tested here: error stays within a few LSB, flat fields do not
+drift, and the default precision="exact" surface is untouched.
+"""
+
+import numpy as np
+import pytest
+
+from libiqo_tpu.core.plan import build_plan
+from libiqo_tpu.golden import numpy_ref
+from libiqo_tpu.ops import pallas_resize
+
+RNG = np.random.default_rng(29)
+
+# small geometries: interpreter is slow
+CASES = [
+    ("lanczos", dict(degree=3), 320, 96, 160, 48),
+    ("lanczos", dict(degree=2, px_scale=2), 160, 64, 80, 32),   # chroma
+    ("lanczos", dict(degree=2), 160, 64, 320, 128),             # upsample
+    ("area", {}, 320, 96, 150, 40),
+    ("linear", {}, 160, 64, 320, 128),
+]
+
+# measured ceiling on the shootout harness is 2.2 LSB; 3 gives headroom
+# against unlucky seeds without letting real regressions through
+MAX_LSB = 3
+
+
+@pytest.mark.parametrize(
+    "case", CASES, ids=lambda c: f"{c[0]}-{c[2]}x{c[3]}-{c[4]}x{c[5]}")
+def test_relaxed_kernel_error_bound(case):
+    import jax
+
+    algo, kw, sw, sh, dw, dh = case
+    plan = build_plan(algo, sw, sh, dw, dh, **kw)
+    assert pallas_resize.supports_plan(plan, relaxed=True)
+    fn, ops = pallas_resize.make_resize_fn(plan, interpret=True, relaxed=True)
+    src = RNG.integers(0, 256, (sh, sw), np.uint8)
+    got = np.asarray(jax.jit(fn)(*ops, src))
+    want = numpy_ref.resize_u8(plan, src)
+    err = np.abs(got.astype(int) - want.astype(int))
+    assert err.max() <= MAX_LSB, f"max err {err.max()} LSB"
+
+
+def test_relaxed_flat_field_no_drift():
+    """The per-column bf16 sum repair (the adjustCoefs analog,
+    ref: src/IQOLanczosResizerImpl_Generic.cpp:341-367) must keep flat
+    inputs exactly flat — the same invariant the exact path guarantees."""
+    import jax
+
+    plan = build_plan("lanczos", 320, 96, 160, 48, degree=3)
+    fn, ops = pallas_resize.make_resize_fn(plan, interpret=True, relaxed=True)
+    jfn = jax.jit(fn)
+    for v in (0, 128, 255):
+        src = np.full((96, 320), v, np.uint8)
+        got = np.asarray(jfn(*ops, src))
+        assert (got == v).all(), f"flat {v} drifted: {np.unique(got)}"
+
+
+def test_relaxed_api_and_validation():
+    from libiqo_tpu import LanczosResizer
+
+    with pytest.raises(ValueError):
+        LanczosResizer(3, 64, 64, 32, 32, precision="fast")
+
+    r = LanczosResizer(3, 320, 96, 160, 48, backend="pallas",
+                       precision="relaxed")
+    src = RNG.integers(0, 256, (96, 320), np.uint8)
+    got = r.resize(src)
+    want = numpy_ref.resize_u8(r._plan, src)
+    err = np.abs(got.astype(int) - want.astype(int))
+    assert err.max() <= MAX_LSB
+    # the default surface stays byte-exact
+    r_exact = LanczosResizer(3, 320, 96, 160, 48, backend="pallas")
+    np.testing.assert_array_equal(r_exact.resize(src), want)
+
+
+def test_relaxed_yuv_plumbing():
+    from libiqo_tpu.yuv import YUV420Resizer
+
+    r = YUV420Resizer("lanczos3", 128, 96, 64, 48, backend="pallas",
+                      precision="relaxed")
+    assert r._luma._precision == "relaxed"
+    assert r._chroma._precision == "relaxed"
+
+
+def test_relaxed_refusal_falls_back_exact():
+    """Plans the relaxed overflow guard refuses (or whose relaxed build
+    is VMEM-infeasible) must silently serve the exact path instead of
+    erroring.  16x200000 blows the padless VMEM envelope entirely, so
+    the resizer lands on XLA — exact — even with precision="relaxed"."""
+    from libiqo_tpu import AreaResizer
+
+    plan = build_plan("area", 16, 20000, 16, 31)
+    r = AreaResizer(16, 20000, 16, 31, backend="pallas",
+                    precision="relaxed")
+    src = RNG.integers(0, 256, (20000, 16), np.uint8)
+    got = r.resize(src)
+    want = numpy_ref.resize_u8(plan, src)
+    err = np.abs(got.astype(int) - want.astype(int))
+    assert err.max() <= MAX_LSB

@@ -182,12 +182,19 @@ def _bf16_relaxed_plane(blocks: np.ndarray) -> np.ndarray:
     (K x N slabs, outputs on the last axis)."""
     target = blocks.astype(np.float64).sum(axis=-2)
     bf = blocks.astype(np.float32).astype(jnp.bfloat16)
-    for _ in range(4):
+    # Greedy multi-tap repair: nudging only the largest tap converges to
+    # half-ulp of THAT tap — for pathological int16-wrapped px2 chroma
+    # taps (|c| ~ 2^15, ulp 256) that leaves a ~1.5-LSB flat-field drift.
+    # Walking the taps largest-to-smallest pushes the residual floor to
+    # half-ulp of the smallest nudged tap (measured: flat fields exact on
+    # all graded configs incl. px2 chroma).
+    order = np.argsort(-np.abs(blocks), axis=-2, kind="stable")
+    for k in range(min(blocks.shape[-2], 8)):
         f = bf.astype(np.float64)
         resid = target - f.sum(axis=-2)
         if not resid.any():
             break
-        idx = np.abs(f).argmax(axis=-2)[..., None, :]
+        idx = order[..., k: k + 1, :]
         np.put_along_axis(
             f, idx, np.take_along_axis(f, idx, axis=-2)
             + resid[..., None, :], axis=-2)
@@ -659,12 +666,18 @@ def _auto_tiles_padless(plan: ResizePlan, relaxed: bool = False):
     r_sh, r_dh = _reduced(y)
     r_sw, r_dw = _reduced(x)
     n_cy = 1 if _est_coef_single(y) else 2
-    # X: relaxed -> 1 rounded-bf16 dot over 1 plane; single exact plane
-    # -> 2 dots over 1 plane; s8 4-dot (the default for 16-bit taps,
-    # wrap16 or u16-work) -> 4 dots over 2 int8 planes; Karatsuba bf16 /
-    # hi-lo split otherwise
+    # X: single exact plane -> 2 dots over 1 plane; s8 4-dot (the
+    # default for 16-bit taps, wrap16 or u16-work) -> 4 dots over 2 int8
+    # planes; Karatsuba bf16 / hi-lo split otherwise.  Relaxed keeps ONE
+    # resident bf16 plane (n_px, the VMEM side) but ranks time with the
+    # exact scheme's dot count: measured on chip
+    # (scripts/exp_relaxed_sweep.py) the X dots overlap DMA/VPU off the
+    # critical path and the relaxed kernel prefers the same tiles as the
+    # exact one — ranking with n_dx=1 flipped 4K luma to th=64 (0.0661
+    # ms/frame vs 0.0579 at the exact pick th=32).
     if relaxed:
-        n_dx, n_px = 1, 1
+        n_dx = 2 if _est_coef_single(x) else 4
+        n_px = 1
     elif _est_coef_single(x):
         n_dx, n_px = 2, 1
     else:
@@ -913,7 +926,26 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             return None
 
     if x_relaxed:
-        slab_planes = [(_bf16_relaxed_plane(s),) for s in slabs]
+        c0s = [_bf16_relaxed_plane(s) for s in slabs]
+        resid = [s.astype(np.float64) - c.astype(np.float64)
+                 for s, c in zip(slabs, c0s)]
+        if any(r.any() for r in resid):
+            # Some column's taps cannot round to bf16 with an exact sum
+            # (pathological int16-wrapped px2 taps: all 4 are ~2**15, so
+            # the repair floor is half their ulp, and the X-border renorm
+            # divide then amplifies it — measured -3 LSB on a flat field
+            # at the px2 chroma right border).  Add the residual plane
+            # dc = c - bf16(c): an integer with |dc| <= half-ulp <= 128,
+            # hence exactly representable in bf16; a second dot against
+            # it removes the coefficient-rounding error entirely, leaving
+            # only the work-side bf16 rounding.
+            dps = [r.astype(np.float32).astype(jnp.bfloat16) for r in resid]
+            if any(not (d.astype(np.float64) == r).all()
+                   for r, d in zip(resid, dps)):
+                return None     # taps beyond the scheme's envelope
+            slab_planes = [(c0, d) for c0, d in zip(c0s, dps)]
+        else:
+            slab_planes = [(c0,) for c0 in c0s]
         cx_scale = None
     elif x_s8:
         def s8_split(s):
@@ -1191,16 +1223,23 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                     else parts[0])
             sums = sums + cxc_ref[...]
         elif x_relaxed:
-            # relaxed precision: one rounded-bf16 dot per group, f32
-            # accumulation; |sums| < 2**31 so the i32 cast is safe and
-            # the shared rounding/border epilogue below applies unchanged
+            # relaxed precision: one rounded-bf16 dot per group (plus a
+            # second dot against the exact residual plane when the bf16
+            # column-sum repair could not converge — see the build-side
+            # comment), f32 accumulation per dot; |sums| < 2**31 so the
+            # i32 casts are safe and the shared rounding/border epilogue
+            # below applies unchanged
             wb = w.astype(dot_dt)
             parts = []
             for gi, (_o0, _ol, k0, kl) in enumerate(xg):
-                cc = cx_vals[gi].astype(dot_dt)
-                parts.append(jnp.dot(wb[:, k0:k0 + kl], cc,
-                                     preferred_element_type=f32)
-                             .astype(jnp.int32))
+                acc = None
+                for p in range(n_cx):
+                    cc = cx_vals[p * n_xg + gi].astype(dot_dt)
+                    d = jnp.dot(wb[:, k0:k0 + kl], cc,
+                                preferred_element_type=f32
+                                ).astype(jnp.int32)
+                    acc = d if acc is None else acc + d
+                parts.append(acc)
             sums = (jnp.concatenate(parts, axis=1) if len(parts) > 1
                     else parts[0])
         elif x_kara:

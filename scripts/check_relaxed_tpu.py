@@ -1,13 +1,16 @@
-"""On-chip check + perf probe for the opt-in relaxed-precision kernel
-(precision="relaxed"): compiled error vs the golden oracle on the graded
-configs, and the two-point-slope ms/frame vs the exact kernel.
+"""On-chip error-bound artifact for the opt-in relaxed-precision kernel
+(precision="relaxed"): compiles each graded config's relaxed kernel on the
+real TPU and records max/mean LSB error vs the golden oracle, plus the
+flat-field invariant.  Perf numbers come from
+``scripts/bench_configs.py --relaxed`` (calibrated two-point slope) — a
+naive short slope through the axon tunnel produces impossible numbers.
 
-Run on the real TPU (no JAX_PLATFORMS override).
+Writes scripts/check_relaxed_result.json; exits nonzero if any case
+exceeds MAX_LSB or a flat field drifts.
 """
 
 import json
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -20,6 +23,7 @@ from libiqo_tpu.golden import numpy_ref
 from libiqo_tpu.ops import pallas_resize
 
 RNG = np.random.default_rng(31)
+MAX_LSB = 3  # measured ceiling (chroma px2's pathological 4-tap phases)
 
 CASES = [
     ("lanczos", dict(degree=3), 3840, 2160, 1920, 1080),   # headline luma
@@ -30,56 +34,41 @@ CASES = [
 ]
 
 
-def slope_ms(fn, ops, src, n0=16, n1=64):
-    """Two-point-slope ms/application (cancels the tunnel sync RTT)."""
-
-    def loop(n, s):
-        def body(i, carry):
-            s, acc = carry
-            s = jax.lax.dynamic_update_slice(
-                s, (i & 0xFF).astype(jnp.uint8)[None, None], (0, 0))
-            out = fn(*ops, s)
-            return s, acc ^ out[0, 0]
-        return jax.lax.fori_loop(0, n, body, (s, jnp.uint8(0)))[1]
-
-    l0 = jax.jit(lambda s: loop(n0, s))
-    l1 = jax.jit(lambda s: loop(n1, s))
-    sd = jnp.asarray(src)
-    for l in (l0, l1):
-        l(sd).block_until_ready()
-    t0 = time.perf_counter(); l0(sd).block_until_ready()
-    t1 = time.perf_counter(); l1(sd).block_until_ready()
-    t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / (n1 - n0) * 1e3
-
-
-def main():
+def main() -> int:
     assert jax.devices()[0].platform == "tpu", jax.devices()
-    rows = []
+    rows, bad = [], 0
     for algo, kw, sw, sh, dw, dh in CASES:
         plan = build_plan(algo, sw, sh, dw, dh, **kw)
         src = RNG.integers(0, 256, (sh, sw), np.uint8)
         want = numpy_ref.resize_u8(plan, src)
-        row = {"case": f"{algo}{kw.get('degree','')} {sw}x{sh}->{dw}x{dh}"
-                       + (" px2" if kw.get("px_scale") == 2 else "")}
-        for name, relaxed in (("exact", False), ("relaxed", True)):
-            if not pallas_resize.supports_plan(plan, relaxed=relaxed):
-                row[name] = "unsupported"
-                continue
-            try:
-                fn, ops = pallas_resize.make_resize_fn(plan, relaxed=relaxed)
-            except ValueError as e:
-                row[name] = f"refused: {e}"
-                continue
-            got = np.asarray(jax.jit(fn)(*ops, jnp.asarray(src)))
-            err = int(np.abs(got.astype(int) - want.astype(int)).max())
-            ms = slope_ms(fn, ops, src)
-            row[name] = {"max_lsb": err, "ms": round(ms, 4)}
+        fn, ops = pallas_resize.make_resize_fn(plan, relaxed=True)
+        jfn = jax.jit(fn)
+        got = np.asarray(jfn(*ops, jnp.asarray(src)))
+        err = np.abs(got.astype(int) - want.astype(int))
+        # flat-field invariant is "matches the oracle on a flat field" —
+        # the reference Generic itself is non-uniform on flat px2 chroma
+        # (125 at the X border for flat 128), and that IS the contract
+        flat_src = np.full((sh, sw), 128, np.uint8)
+        flat = np.asarray(jfn(*ops, jnp.asarray(flat_src)))
+        row = {
+            "case": f"{algo}{kw.get('degree', '')} {sw}x{sh}->{dw}x{dh}"
+                    + (" px2" if kw.get("px_scale") == 2 else ""),
+            "max_lsb": int(err.max()),
+            "mean_lsb": round(float(err.mean()), 4),
+            "flat128_ok": bool(
+                (flat == numpy_ref.resize_u8(plan, flat_src)).all()),
+        }
+        if row["max_lsb"] > MAX_LSB or not row["flat128_ok"]:
+            bad += 1
+            row["FAIL"] = True
         rows.append(row)
         print(json.dumps(row), flush=True)
     with open("scripts/check_relaxed_result.json", "w") as f:
         json.dump(rows, f, indent=1)
+    print(f"{len(rows)} cases, {bad} failures -> "
+          "scripts/check_relaxed_result.json")
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

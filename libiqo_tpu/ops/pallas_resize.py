@@ -187,9 +187,13 @@ def _bf16_relaxed_plane(blocks: np.ndarray) -> np.ndarray:
     # taps (|c| ~ 2^15, ulp 256) that leaves a ~1.5-LSB flat-field drift.
     # Walking the taps largest-to-smallest pushes the residual floor to
     # half-ulp of the smallest nudged tap (measured: flat fields exact on
-    # all graded configs incl. px2 chroma).
+    # all graded configs incl. px2 chroma).  The walk must reach the
+    # SMALL taps: bf16 represents integers <= 256 exactly, so a tail tap
+    # under 256 absorbs any small residual exactly (4K luma's 12-tap
+    # columns converge at their 247/60 taps — a cap of 8 stopped short
+    # and forced the residual plane on every build).
     order = np.argsort(-np.abs(blocks), axis=-2, kind="stable")
-    for k in range(min(blocks.shape[-2], 8)):
+    for k in range(min(blocks.shape[-2], 24)):
         f = bf.astype(np.float64)
         resid = target - f.sum(axis=-2)
         if not resid.any():
@@ -819,6 +823,11 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     # 32-granularity without relayout).
     import os as _os
     _no_ygroup = bool(_os.environ.get("LIBIQO_TPU_NO_YGROUP"))
+    # Measurement-only stage ablation (scripts/exp_ablate_stages.py): cut
+    # the kernel after a stage and write a cheap slice of its result, so
+    # on-chip slopes isolate each stage's EXPOSED cost (DMA overlap
+    # included).  Never set in production; outputs are garbage.
+    _ablate = _os.environ.get("LIBIQO_TPU_ABLATE", "")
     if force_streamed_y or _no_ygroup:
         y_groups = None
     elif s8_y:
@@ -927,9 +936,16 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
 
     if x_relaxed:
         c0s = [_bf16_relaxed_plane(s) for s in slabs]
-        resid = [s.astype(np.float64) - c.astype(np.float64)
-                 for s, c in zip(slabs, c0s)]
-        if any(r.any() for r in resid):
+        # One rounded plane suffices when the column-sum repair CONVERGED
+        # (sums exact => flat fields exact; random error is the work-side
+        # + per-tap bf16 rounding, <= ~2 LSB).  Per-tap residuals are
+        # nonzero for virtually any Q14 tap set, so they must NOT be the
+        # trigger — gating on them silently doubled every relaxed X pass.
+        sums_exact = all(
+            (c0.astype(np.float64).sum(axis=-2)
+             == s.astype(np.float64).sum(axis=-2)).all()
+            for s, c0 in zip(slabs, c0s))
+        if not sums_exact:
             # Some column's taps cannot round to bf16 with an exact sum
             # (pathological int16-wrapped px2 taps: all 4 are ~2**15, so
             # the repair floor is half their ulp, and the X-border renorm
@@ -939,6 +955,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             # hence exactly representable in bf16; a second dot against
             # it removes the coefficient-rounding error entirely, leaving
             # only the work-side bf16 rounding.
+            resid = [s.astype(np.float64) - c.astype(np.float64)
+                     for s, c in zip(slabs, c0s)]
             dps = [r.astype(np.float32).astype(jnp.bfloat16) for r in resid]
             if any(not (d.astype(np.float64) == r).all()
                    for r, d in zip(resid, dps)):
@@ -1111,6 +1129,10 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         else:
             band_bf = band_ref[...].astype(jnp.int32).astype(dot_dt)
 
+        if _ablate == "dma":    # band DMA + load only (needs band >= tile)
+            out_ref[...] = band_ref[...][:th, :tw]
+            return
+
         # ---- Y pass: work = sum_p Cy_p @ band ---------------------------
         if y_res:
             vy_i = variant(g_y, y_int, y_exc)
@@ -1157,7 +1179,13 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                 d = d * cy_scale[p]
                 nume = d if nume is None else nume + d
         if wrap16:
-            w = ((nume + 32768) & 65535) - 32768
+            # The s8 X split reads only the low 16 bits of w ((w * 65536)
+            # >> 24 and (w & 255) are invariant under +-k*65536), so for
+            # x_s8 the int16 wrap is needed only where the border-renorm
+            # divide reads the VALUE — fold it into those paths and keep
+            # the main flow on the raw i32 accumulator (saves 3 full-tile
+            # VPU ops per non-border tile).
+            w = nume if x_s8 else ((nume + 32768) & 65535) - 32768
             if y_has_border and y_cond:
                 work_ref = scratch[-1]
                 work_ref[...] = w
@@ -1169,6 +1197,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                 @pl.when(hit)
                 def _():
                     ww = work_ref[...]
+                    if x_s8:
+                        ww = ((ww + 32768) & 65535) - 32768
                     bval = jax.lax.div(
                         ww * y_bias, jnp.broadcast_to(dy_ref[...], ww.shape))
                     bval = ((bval + 32768) & 65535) - 32768
@@ -1176,12 +1206,17 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
 
                 w = work_ref[...]
             elif y_has_border:
-                bval = jax.lax.div(w * y_bias,
-                                   jnp.broadcast_to(dy_ref[...], w.shape))
+                ww = ((w + 32768) & 65535) - 32768 if x_s8 else w
+                bval = jax.lax.div(ww * y_bias,
+                                   jnp.broadcast_to(dy_ref[...], ww.shape))
                 bval = ((bval + 32768) & 65535) - 32768
-                w = jnp.where(by_ref[...] > 0, bval, w)
+                w = jnp.where(by_ref[...] > 0, bval, ww)
         else:
             w = nume
+
+        if _ablate == "y":      # Y pass done, X pass cut
+            out_ref[...] = (w[:, :tw] & 255).astype(jnp.uint8)
+            return
 
         # ---- X pass ------------------------------------------------------
         # operand index for plane p, group gi (operands pre-sliced to the
@@ -1203,9 +1238,16 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             # plane's +128 constant is the static cxc_ref correction.
             # u16-work plans (x_u8work) rebase BOTH planes: a = (w>>8) -
             # 128 with the extra 128*256*colsum folded into cxc_ref.
-            a = (w >> 8) - 128 if x_u8work else w >> 8
+            # wrap16 w may be the RAW i32 accumulator (wrap elided above):
+            # (w * 65536) >> 24 sign-extends bit 15 (i32 multiply wraps
+            # mod 2**32, == w << 16) so a == wrap16(w) >> 8, always in
+            # [-128, 127]; u16-work w is a true [0, 65280] value
+            a = (w >> 8) - 128 if x_u8work else (w * 65536) >> 24
             b = (w & 255) - 128
             a8, b8 = a.astype(jnp.int8), b.astype(jnp.int8)
+            if _ablate == "split":   # Y + s8 work split, X dots cut
+                out_ref[...] = (a8[:, :tw] ^ b8[:, :tw]).astype(jnp.uint8)
+                return
             parts = []
             for gi, (_o0, _ol, k0, kl) in enumerate(xg):
                 ce = cx_vals[0 * n_xg + gi]
@@ -1285,6 +1327,10 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                 parts.append(s)
             sums = (jnp.concatenate(parts, axis=1) if len(parts) > 1
                     else parts[0])
+
+        if _ablate == "x":      # full compute, rounding epilogue cut
+            out_ref[...] = (sums & 255).astype(jnp.uint8)
+            return
 
         # ---- rounding epilogue ------------------------------------------
         main = (sums + half) >> out_shift

@@ -103,3 +103,40 @@ def test_relaxed_refusal_falls_back_exact():
     want = numpy_ref.resize_u8(plan, src)
     err = np.abs(got.astype(int) - want.astype(int))
     assert err.max() <= MAX_LSB
+
+
+def test_relaxed_single_plane_when_sums_converge():
+    """Q14 luma-style taps must converge to ONE relaxed coefficient plane:
+    the column-sum repair reaches the small (exactly-representable) tail
+    taps.  A walk cap of 8 once stopped short and silently added the
+    residual-plane second dot to EVERY relaxed build."""
+    plan = build_plan("lanczos", 768, 256, 384, 128, degree=3)  # 2:1 luma taps
+    fr, _ = pallas_resize._make_padless_fn(plan, interpret=True, relaxed=True)
+    fe, _ = pallas_resize._make_padless_fn(plan, interpret=True)
+    assert fe.n_cx == 2 * fr.n_cx  # s8 scheme: 2 planes; relaxed: 1
+
+
+def test_relaxed_residual_plane_path(monkeypatch):
+    """When the bf16 column-sum repair cannot converge, the build must add
+    the exact residual plane (second dot) and stay within the error bound.
+    No real geometry needs it since the repair walks the small taps, so
+    simulate non-convergence by stubbing the repair with plain rounding."""
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(
+        pallas_resize, "_bf16_relaxed_plane",
+        lambda blocks: blocks.astype(np.float32).astype(jnp.bfloat16))
+    plan = build_plan("lanczos", 320, 96, 160, 48, degree=3)
+    fr, ops = pallas_resize._make_padless_fn(plan, interpret=True,
+                                             relaxed=True)
+    fe, _ = pallas_resize._make_padless_fn(plan, interpret=True)
+    assert fe.n_cx == fr.n_cx  # residual plane doubles the X operands
+    src = RNG.integers(0, 256, (96, 320), np.uint8)
+    got = np.asarray(jax.jit(fr)(*ops, src))
+    want = numpy_ref.resize_u8(plan, src)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= MAX_LSB
+    # residual plane makes the coefficient side exact => flat fields exact
+    flat = np.full((96, 320), 128, np.uint8)
+    got_flat = np.asarray(jax.jit(fr)(*ops, flat))
+    np.testing.assert_array_equal(got_flat, numpy_ref.resize_u8(plan, flat))

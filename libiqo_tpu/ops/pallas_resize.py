@@ -1005,6 +1005,11 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                * o.dtype.itemsize * (1 if x_res else 2) for o in cx_ops)
     if est > _VMEM_TILE_BUDGET:
         return None
+    # batch-stacking headroom: each extra frame per grid step costs one
+    # more double-buffered band block + out block (compute temps are
+    # reused across the sequential per-frame loop)
+    _bf_frame = 2 * band_h * band_w + 2 * th * tw
+    bf_cap = min(4, 1 + (_VMEM_TILE_BUDGET - est) // _bf_frame)
 
     wrap16 = plan.wrap16
     y_bias = y.bias
@@ -1087,58 +1092,81 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         tile_grid = (n_ty, n_tx)
         g_y, g_x = 1, 2
 
-    def kernel(*refs):
-        band_ref = refs[0]
-        cy_in = refs[1:1 + n_cy]
-        cx_in = refs[1 + n_cy:1 + n_cy + n_cx_ops]
-        k0_ = 1 + n_cy + n_cx_ops
-        n_tail = 5 + int(s8_y) + int(x_s8)
-        tail = iter(refs[k0_:k0_ + n_tail])
-        scratch = refs[k0_ + n_tail:]
-        dy_ref, by_ref = next(tail), next(tail)
-        cr_ref = next(tail) if s8_y else None
-        dx_ref, bx_ref = next(tail), next(tail)
-        cxc_ref = next(tail) if x_s8 else None
-        out_ref = next(tail)
+    def _variant(idx_dim, interior, exceptions):
+        v = jnp.int32(interior)
+        t = pl.program_id(idx_dim)
+        for tt, vv in exceptions:
+            v = jnp.where(t == tt, jnp.int32(vv), v)
+        return v
 
-        if n_sc:
-            sem = scratch[n_sc]
-            first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-                     & (pl.program_id(2) == 0))
+    def make_kernel(bf):
+        # ``bf`` frames share one grid step: per-step fixed costs (window
+        # setup, pipeline bookkeeping, resident-variant selects — measured
+        # ~0.25 us/step) amortize bf-fold, and the band/out DMAs issue as
+        # bf-deep blocks.  The per-frame compute is unchanged (same dots,
+        # same VPU work); frames are processed sequentially so VMEM temps
+        # are reused.
+        def kernel(*refs):
+            band_ref = refs[0]
+            cy_in = refs[1:1 + n_cy]
+            cx_in = refs[1 + n_cy:1 + n_cy + n_cx_ops]
+            k0_ = 1 + n_cy + n_cx_ops
+            n_tail = 5 + int(s8_y) + int(x_s8)
+            tail = iter(refs[k0_:k0_ + n_tail])
+            scratch = refs[k0_ + n_tail:]
+            dy_ref, by_ref = next(tail), next(tail)
+            cr_ref = next(tail) if s8_y else None
+            dx_ref, bx_ref = next(tail), next(tail)
+            cxc_ref = next(tail) if x_s8 else None
+            out_ref = next(tail)
 
-            @pl.when(first)
-            def _():
-                srcs = (tuple(cy_in) if y_res else ()) + \
-                       (tuple(cx_in) if x_res else ())
-                for k, (s, d) in enumerate(zip(srcs, scratch[:n_sc])):
-                    cp = pltpu.make_async_copy(s, d, sem.at[k])
-                    cp.start()
-                    cp.wait()
+            if n_sc:
+                sem = scratch[n_sc]
+                first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                         & (pl.program_id(2) == 0))
 
-        def variant(idx_dim, interior, exceptions):
-            v = jnp.int32(interior)
-            t = pl.program_id(idx_dim)
-            for tt, vv in exceptions:
-                v = jnp.where(t == tt, jnp.int32(vv), v)
-            return v
+                @pl.when(first)
+                def _():
+                    srcs = (tuple(cy_in) if y_res else ()) + \
+                           (tuple(cx_in) if x_res else ())
+                    for k, (s, d) in enumerate(zip(srcs, scratch[:n_sc])):
+                        cp = pltpu.make_async_copy(s, d, sem.at[k])
+                        cp.start()
+                        cp.wait()
 
+            # frame-invariant coefficient loads, hoisted out of the loop
+            if y_res:
+                vy_i = _variant(g_y, y_int, y_exc)
+                cy_vals = [scratch[p][vy_i] for p in range(n_cy)]
+            else:
+                cy_vals = [r[...] for r in cy_in]
+            if x_res:
+                vx_i = _variant(g_x, x_int, x_exc)
+                cx_vals = [scratch[n_cy * int(y_res) + j][vx_i]
+                           for j in range(n_cx_ops)]
+            else:
+                cx_vals = [r[...] for r in cx_in]
+
+            for fi in range(bf):
+                _frame(fi, band_ref, out_ref, cy_vals, cx_vals, dy_ref,
+                       by_ref, cr_ref, dx_ref, bx_ref, cxc_ref, scratch)
+
+        return kernel
+
+    def _frame(fi, band_ref, out_ref, cy_vals, cx_vals, dy_ref, by_ref,
+               cr_ref, dx_ref, bx_ref, cxc_ref, scratch):
         if s8_y:
             # rebase u8 -> s8 ((v ^ 0x80) reinterpret == v - 128); the
             # -128 bias is undone by cr_ref below, exactly, in int32
-            band_bf = (band_ref[...] ^ jnp.uint8(0x80)).astype(jnp.int8)
+            band_bf = (band_ref[fi] ^ jnp.uint8(0x80)).astype(jnp.int8)
         else:
-            band_bf = band_ref[...].astype(jnp.int32).astype(dot_dt)
+            band_bf = band_ref[fi].astype(jnp.int32).astype(dot_dt)
 
         if _ablate == "dma":    # band DMA + load only (needs band >= tile)
-            out_ref[...] = band_ref[...][:th, :tw]
+            out_ref[fi] = band_ref[fi][:th, :tw]
             return
 
         # ---- Y pass: work = sum_p Cy_p @ band ---------------------------
-        if y_res:
-            vy_i = variant(g_y, y_int, y_exc)
-            cy_vals = [scratch[p][vy_i] for p in range(n_cy)]
-        else:
-            cy_vals = [r[...] for r in cy_in]
         if s8_y:
             if y_groups is not None:
                 # block-banded s8 Y: each 32-row-multiple output group
@@ -1215,18 +1243,12 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             w = nume
 
         if _ablate == "y":      # Y pass done, X pass cut
-            out_ref[...] = (w[:, :tw] & 255).astype(jnp.uint8)
+            out_ref[fi] = (w[:, :tw] & 255).astype(jnp.uint8)
             return
 
         # ---- X pass ------------------------------------------------------
-        # operand index for plane p, group gi (operands pre-sliced to the
-        # group window, plane-major layout)
-        if x_res:
-            vx_i = variant(g_x, x_int, x_exc)
-            cx_vals = [scratch[n_cy * int(y_res) + j][vx_i]
-                       for j in range(n_cx_ops)]
-        else:
-            cx_vals = [r[...] for r in cx_in]
+        # (cx_vals: operand index for plane p, group gi is p * n_xg + gi —
+        # operands pre-sliced to the group window, plane-major layout)
         if x_s8:
             # 4 exact s8 dots (see scheme comment at build time); i32
             # accumulation wraps mod 2**32 exactly like the reference's C
@@ -1246,7 +1268,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             b = (w & 255) - 128
             a8, b8 = a.astype(jnp.int8), b.astype(jnp.int8)
             if _ablate == "split":   # Y + s8 work split, X dots cut
-                out_ref[...] = (a8[:, :tw] ^ b8[:, :tw]).astype(jnp.uint8)
+                out_ref[fi] = (a8[:, :tw] ^ b8[:, :tw]).astype(jnp.uint8)
                 return
             parts = []
             for gi, (_o0, _ol, k0, kl) in enumerate(xg):
@@ -1329,7 +1351,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                     else parts[0])
 
         if _ablate == "x":      # full compute, rounding epilogue cut
-            out_ref[...] = (sums & 255).astype(jnp.uint8)
+            out_ref[fi] = (sums & 255).astype(jnp.uint8)
             return
 
         # ---- rounding epilogue ------------------------------------------
@@ -1352,11 +1374,11 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                 [seg(0, 128, x_slab_lo), seg(128, tw - 128, False),
                  seg(tw - 128, tw, x_slab_hi)], axis=1)
             v = ((v + 32768) & 65535) - 32768
-            out_ref[...] = jnp.clip(v, 0, 255).astype(jnp.uint8)
+            out_ref[fi] = jnp.clip(v, 0, 255).astype(jnp.uint8)
             return
         if x_has_border and x_cond:
             vm = ((main + 32768) & 65535) - 32768
-            out_ref[...] = jnp.clip(vm, 0, 255).astype(jnp.uint8)
+            out_ref[fi] = jnp.clip(vm, 0, 255).astype(jnp.uint8)
             gx_id = pl.program_id(g_x)
             hit = gx_id == x_btiles[0]
             for t in x_btiles[1:]:
@@ -1369,7 +1391,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                     jnp.broadcast_to(dx_ref[...] * y_bias, sums.shape))
                 vv = jnp.where(bx_ref[...] > 0, bval, main)
                 vv = ((vv + 32768) & 65535) - 32768
-                out_ref[...] = jnp.clip(vv, 0, 255).astype(jnp.uint8)
+                out_ref[fi] = jnp.clip(vv, 0, 255).astype(jnp.uint8)
 
             return
         if x_has_border:
@@ -1379,7 +1401,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         else:
             v = main
         v = ((v + 32768) & 65535) - 32768
-        out_ref[...] = jnp.clip(v, 0, 255).astype(jnp.uint8)
+        out_ref[fi] = jnp.clip(v, 0, 255).astype(jnp.uint8)
 
     E = pallas_core.Element
     y_base, y_step = py.base, py.step
@@ -1408,21 +1430,31 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         oy, ox = band_map(*g)
         return (g[0], oy, ox)
 
-    specs = [
-        pl.BlockSpec((None, E(band_h), E(band_w)), band_map3,
-                     memory_space=pltpu.VMEM),
-        *[_coef_spec(y_res, cy_ops, i, g_y) for i in range(n_cy)],
-        *[_coef_spec(x_res, cx_ops, i, g_x) for i in range(n_cx_ops)],
-        pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0), memory_space=pltpu.VMEM),
-        *([pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0),
-                        memory_space=pltpu.VMEM)] if s8_y else []),
-        pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]), memory_space=pltpu.VMEM),
-        *([pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]),
-                        memory_space=pltpu.VMEM)] if x_s8 else []),
-    ]
-    out_spec = pl.BlockSpec((None, th, tw),
+    def make_specs(bf):
+        # the leading (frame) dim of the band/out blocks is BLOCKED with
+        # size bf (grid dim 0 indexes frame groups); the trailing band
+        # dims stay Element windows
+        return [
+            pl.BlockSpec((bf, E(band_h), E(band_w)), band_map3,
+                         memory_space=pltpu.VMEM),
+            *[_coef_spec(y_res, cy_ops, i, g_y) for i in range(n_cy)],
+            *[_coef_spec(x_res, cx_ops, i, g_x) for i in range(n_cx_ops)],
+            pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0),
+                         memory_space=pltpu.VMEM),
+            *([pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0),
+                            memory_space=pltpu.VMEM)] if s8_y else []),
+            pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]),
+                         memory_space=pltpu.VMEM),
+            *([pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]),
+                            memory_space=pltpu.VMEM)] if x_s8 else []),
+        ]
+
+    def make_out_spec(bf):
+        return pl.BlockSpec((bf, th, tw),
                             lambda *g: (g[0], g[g_y], g[g_x]),
                             memory_space=pltpu.VMEM)
 
@@ -1444,11 +1476,13 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
 
     def get_call(nb: int):
         if nb not in calls:
+            bf = next(b for b in (4, 2, 1) if b <= bf_cap and nb % b == 0)
             calls[nb] = pl.pallas_call(
-                kernel, grid=(nb,) + tile_grid,
+                make_kernel(bf), grid=(nb // bf,) + tile_grid,
                 out_shape=jax.ShapeDtypeStruct((nb, y.n_dst, x.n_dst),
                                                jnp.uint8),
-                in_specs=specs, out_specs=out_spec, interpret=interpret,
+                in_specs=make_specs(bf), out_specs=make_out_spec(bf),
+                interpret=interpret,
                 scratch_shapes=scratch_shapes,
                 compiler_params=None if interpret else pltpu.CompilerParams(
                     dimension_semantics=("arbitrary",) * 3,

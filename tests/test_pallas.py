@@ -53,10 +53,29 @@ def test_pallas_batched():
     if not pallas_resize.supports_plan(plan):
         pytest.skip("geometry outside pallas fast path")
     fn, ops = pallas_resize.make_resize_fn(plan, interpret=True)
-    batch = RNG.integers(0, 256, (3, 192, 256), np.uint8)
+    # batch 4 engages the stacked grid (bf=4: four frames per grid step);
+    # odd batches fall back to bf=1 — covered by test_pallas_batched_odd
+    batch = RNG.integers(0, 256, (4, 192, 256), np.uint8)
     got = np.asarray(jax.jit(fn)(*ops, batch))
-    for i in range(3):
+    for i in range(4):
         np.testing.assert_array_equal(got[i], numpy_ref.resize_u8(plan, batch[i]))
+
+
+def test_pallas_batched_odd():
+    """Odd batch sizes take bf=1 (no frame stacking); mixed batches of 6
+    take bf=2 — every divisor path must stay byte-exact."""
+    import jax
+
+    plan = build_plan("lanczos", 256, 192, 128, 96, degree=3)
+    if not pallas_resize.supports_plan(plan):
+        pytest.skip("geometry outside pallas fast path")
+    fn, ops = pallas_resize.make_resize_fn(plan, interpret=True)
+    for b in (3, 6):
+        batch = RNG.integers(0, 256, (b, 192, 256), np.uint8)
+        got = np.asarray(jax.jit(fn)(*ops, batch))
+        for i in range(b):
+            np.testing.assert_array_equal(
+                got[i], numpy_ref.resize_u8(plan, batch[i]))
 
 
 def test_prime_geometry_supported():

@@ -144,6 +144,26 @@ def main() -> None:
                         "max_lsb_err": err, "compile_plus_run_s": round(dt, 2)})
         print(f"{'OK  ' if ok else 'FAIL'} {name}  (max LSB err {err})",
               flush=True)
+        # batched kernels take the frame-stacked grid (bf frames per grid
+        # step) — a DIFFERENT Mosaic program than the single-frame call;
+        # gate it per-frame on a few cheap graded geometries (bf=4 and the
+        # bf=2 path; each batch size is its own compile, so keep the list
+        # short)
+        if case in (GRADED[0], GRADED[2], GRADED[4]):
+            for b in (4, 2):
+                srcb = rng.integers(0, 256, (b, sh, sw), np.uint8)
+                outb = np.asarray(jf(*dops, srcb))
+                errb = max(int(np.abs(outb[i].astype(np.int32)
+                                      - numpy_ref.resize_u8(plan, srcb[i])
+                                      .astype(np.int32)).max())
+                           for i in range(b))
+                okb = errb == 0
+                n_fail += not okb
+                results.append({"case": f"{name} [batch{b}]",
+                                "status": "ok" if okb else "FAIL",
+                                "max_lsb_err": errb})
+                print(f"{'OK  ' if okb else 'FAIL'} {name} [batch{b}]  "
+                      f"(max LSB err {errb})", flush=True)
 
     summary = {
         "platform": platform,

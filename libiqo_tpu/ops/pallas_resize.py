@@ -828,6 +828,10 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     # on-chip slopes isolate each stage's EXPOSED cost (DMA overlap
     # included).  Never set in production; outputs are garbage.
     _ablate = _os.environ.get("LIBIQO_TPU_ABLATE", "")
+    # Measurement override for the frame-stacking factor (A/B the stacked
+    # grid): LIBIQO_TPU_BF=1 disables stacking, =2/4 forces that factor
+    # when the batch divides by it.  Outputs stay byte-exact either way.
+    _bf_force = int(_os.environ.get("LIBIQO_TPU_BF", "0") or 0)
     if force_streamed_y or _no_ygroup:
         y_groups = None
     elif s8_y:
@@ -1477,6 +1481,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     def get_call(nb: int):
         if nb not in calls:
             bf = next(b for b in (4, 2, 1) if b <= bf_cap and nb % b == 0)
+            if _bf_force:
+                bf = _bf_force if nb % _bf_force == 0 else 1
             calls[nb] = pl.pallas_call(
                 make_kernel(bf), grid=(nb // bf,) + tile_grid,
                 out_shape=jax.ShapeDtypeStruct((nb, y.n_dst, x.n_dst),

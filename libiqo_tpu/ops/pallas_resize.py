@@ -1166,8 +1166,10 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         else:
             band_bf = band_ref[fi].astype(jnp.int32).astype(dot_dt)
 
-        if _ablate == "dma":    # band DMA + load only (needs band >= tile)
-            out_ref[fi] = band_ref[fi][:th, :tw]
+        if _ablate == "dma":    # band DMA + load only
+            out_ref[fi] = (band_ref[fi][:th, :tw]
+                           if band_h >= th and band_w >= tw else
+                           jnp.broadcast_to(band_ref[fi][:1, :1], (th, tw)))
             return
 
         # ---- Y pass: work = sum_p Cy_p @ band ---------------------------
@@ -1247,7 +1249,9 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             w = nume
 
         if _ablate == "y":      # Y pass done, X pass cut
-            out_ref[fi] = (w[:, :tw] & 255).astype(jnp.uint8)
+            ww = (w[:, :tw] if band_w >= tw
+                  else jnp.broadcast_to(w[:, :1], (th, tw)))
+            out_ref[fi] = (ww & 255).astype(jnp.uint8)
             return
 
         # ---- X pass ------------------------------------------------------
@@ -1272,7 +1276,9 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             b = (w & 255) - 128
             a8, b8 = a.astype(jnp.int8), b.astype(jnp.int8)
             if _ablate == "split":   # Y + s8 work split, X dots cut
-                out_ref[fi] = (a8[:, :tw] ^ b8[:, :tw]).astype(jnp.uint8)
+                ab = (a8[:, :tw] ^ b8[:, :tw] if band_w >= tw
+                      else jnp.broadcast_to(a8[:, :1] ^ b8[:, :1], (th, tw)))
+                out_ref[fi] = ab.astype(jnp.uint8)
                 return
             parts = []
             for gi, (_o0, _ol, k0, kl) in enumerate(xg):

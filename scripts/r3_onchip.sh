@@ -31,5 +31,6 @@ run relaxed        python scripts/check_relaxed_tpu.py
 run video64_auto   python scripts/bench_video64.py
 run video64_bf1    env LIBIQO_TPU_BF=1 python scripts/bench_video64.py
 run ablate_luma    python scripts/exp_ablate_stages.py luma
+run configs        python scripts/bench_configs.py
 run bench          python bench.py
 echo "DONE — read $LOG/summary.txt, update BASELINE.md/NOTES.md, commit artifacts."

@@ -747,6 +747,16 @@ def _auto_tiles_padless(plan: ResizePlan, relaxed: bool = False):
     return ranked[:6]
 
 
+def _pick_bf(nb: int, bf_cap: int, force: int = 0) -> int:
+    """Frames stacked per grid step: the largest of (4, 2, 1) that divides
+    the batch and fits the VMEM headroom cap.  ``force`` (the LIBIQO_TPU_BF
+    measurement override) wins when it divides the batch — it deliberately
+    ignores the cap so A/B runs can push past the tuner's choice."""
+    if force:
+        return force if nb % force == 0 else 1
+    return next(b for b in (4, 2, 1) if b <= bf_cap and nb % b == 0)
+
+
 def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                      th_target: int = 0, tw_target: int = 0,
                      grid_order: str = "xy", force_streamed_y: bool = False,
@@ -1486,9 +1496,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
 
     def get_call(nb: int):
         if nb not in calls:
-            bf = next(b for b in (4, 2, 1) if b <= bf_cap and nb % b == 0)
-            if _bf_force:
-                bf = _bf_force if nb % _bf_force == 0 else 1
+            bf = _pick_bf(nb, bf_cap, _bf_force)
             calls[nb] = pl.pallas_call(
                 make_kernel(bf), grid=(nb // bf,) + tile_grid,
                 out_shape=jax.ShapeDtypeStruct((nb, y.n_dst, x.n_dst),

@@ -61,6 +61,22 @@ def test_pallas_batched():
         np.testing.assert_array_equal(got[i], numpy_ref.resize_u8(plan, batch[i]))
 
 
+def test_pick_bf():
+    """Stacking-factor selection: largest of (4, 2, 1) dividing the batch
+    within the VMEM cap; the LIBIQO_TPU_BF force override wins when it
+    divides the batch and is ignored otherwise."""
+    pick = pallas_resize._pick_bf
+    assert pick(16, 4) == 4
+    assert pick(16, 2) == 2
+    assert pick(16, 1) == 1
+    assert pick(6, 4) == 2      # 4 doesn't divide 6
+    assert pick(3, 4) == 1      # odd batch: no stacking
+    assert pick(1, 4) == 1
+    assert pick(8, 4, force=2) == 2   # override wins over cap-best 4
+    assert pick(8, 1, force=4) == 4   # override deliberately ignores cap
+    assert pick(3, 4, force=2) == 1   # non-divisible override -> bf=1
+
+
 def test_pallas_batched_odd():
     """Odd batch sizes take bf=1 (no frame stacking); mixed batches of 6
     take bf=2 — every divisor path must stay byte-exact."""

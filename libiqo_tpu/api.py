@@ -180,22 +180,17 @@ class Resizer:
             from .ops import pallas_resize
 
             relaxed = self._precision == "relaxed"
-            if pallas_resize.supports_plan(self._plan, relaxed=relaxed):
-                interpret = jax.devices()[0].platform != "tpu"
+            interpret = jax.devices()[0].platform != "tpu"
+            # relaxed plans whose build is infeasible (VMEM envelope, or
+            # the relaxed overflow guard) retry the exact kernel, then
+            # the exact XLA path below
+            for rel in ((True, False) if relaxed else (False,)):
+                if not pallas_resize.supports_plan(self._plan, relaxed=rel):
+                    continue
                 try:
                     fn, operands = pallas_resize.make_resize_fn(
-                        self._plan, interpret=interpret, relaxed=relaxed)
-                except ValueError:
-                    # plans whose padless build is infeasible (VMEM
-                    # envelope, or the relaxed overflow guard) — retry
-                    # the exact kernel, then the exact XLA path
-                    fn = operands = None
-            if fn is None and relaxed \
-                    and pallas_resize.supports_plan(self._plan):
-                interpret = jax.devices()[0].platform != "tpu"
-                try:
-                    fn, operands = pallas_resize.make_resize_fn(
-                        self._plan, interpret=interpret)
+                        self._plan, interpret=interpret, relaxed=rel)
+                    break
                 except ValueError:
                     fn = operands = None
             # geometries outside the fast path fall back to the exact

@@ -12,9 +12,8 @@ Reads a raw planar YUV420 file, resizes Y at full size and U/V at half size
 from __future__ import annotations
 
 import argparse
+import itertools
 import sys
-
-import numpy as np
 
 from ..yuv import YUV420Resizer, iter_yuv420, write_yuv420
 
@@ -48,22 +47,32 @@ def main(argv=None) -> int:
         return 2
     # stream frame-at-a-time: constant memory for arbitrarily long files
     # (matches the reference sample's one-frame read loop,
-    # ref: sample/resize_yuv420p.cpp:94-112)
-    n = 0
+    # ref: sample/resize_yuv420p.cpp:94-112).  Validate the input before
+    # touching the output path so a bad -i never truncates an existing -o.
     try:
-        with open(args.o, "wb") as out_fp:
-            for f in iter_yuv420(args.i, args.iw, args.ih, args.frames):
-                o = r.resize(f)
-                out_fp.write(np.ascontiguousarray(o.y).tobytes())
-                out_fp.write(np.ascontiguousarray(o.u).tobytes())
-                out_fp.write(np.ascontiguousarray(o.v).tobytes())
-                n += 1
+        frames_in = iter_yuv420(args.i, args.iw, args.ih, args.frames)
+        first = next(frames_in, None)
     except OSError as e:
-        print(f"error: could not process {args.i}: {e}", file=sys.stderr)
+        print(f"error: could not read {args.i}: {e}", file=sys.stderr)
         return 1
-    if not n:
+    if first is None:
         print("error: no complete frames in input", file=sys.stderr)
         return 1
+
+    count = 0
+
+    def resized():
+        nonlocal count
+        for f in itertools.chain([first], frames_in):
+            yield r.resize(f)
+            count += 1
+
+    try:
+        write_yuv420(args.o, resized())
+    except OSError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    n = count
     print(f"{n} frame(s): {args.iw}x{args.ih} -> {args.ow}x{args.oh} "
           f"({args.m}, backend={r._luma.resolved_backend()})")
     return 0

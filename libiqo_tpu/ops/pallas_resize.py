@@ -368,6 +368,7 @@ def _auto_tiles(plan: ResizePlan):
     r_sw, r_dw = _reduced(x)
     n_cy = 1 if _est_coef_single(y) else 2
     n_dx = 2 if _est_coef_single(x) else 4   # hi/lo X split dot count
+    mxu_r, step_r, dma_r, _div_r = _tuner_rates()
     best, best_cost = None, float("inf")
     for th in (96, 128, 192, 256):
         th_eff = min(-(-y.n_dst // 32) * 32, th)
@@ -386,7 +387,6 @@ def _auto_tiles(plan: ResizePlan):
             # coefficient streaming: per-tile unless exactly affine
             dma += (1 if x_affine else n_tiles) * 2 * tx.band * tw_eff * 2
             dma += (1 if y_affine else n_tiles) * n_cy * th_eff * ty.band * 2
-            mxu_r, step_r, dma_r, _div_r = _tuner_rates()
             cost = flops / mxu_r + n_tiles * step_r + dma / dma_r
             # VMEM feasibility
             est = (ty.band * tx.band + 4 * th_eff * tx.band
@@ -687,6 +687,7 @@ def _auto_tiles_padless(plan: ResizePlan, relaxed: bool = False):
     else:
         n_dx, n_px = 4, 2
     cands = []
+    mxu_r, step_r, dma_r, div_r = _tuner_rates()
     w_full = -(-x.n_dst // 128) * 128
     for th in (32, 64, 96, 128, 160, 192, 224, 256):
         th_eff = min(-(-y.n_dst // 32) * 32, th)
@@ -730,7 +731,6 @@ def _auto_tiles_padless(plan: ResizePlan, relaxed: bool = False):
                                 x_band_eff=x_eff)
             if est > _VMEM_TILE_BUDGET:
                 continue
-            mxu_r, step_r, dma_r, div_r = _tuner_rates()
             cost = max(flops / mxu_r, dma / dma_r) + n_tiles * step_r
             # Y-border renorm divide: runs on the 2 edge tiles' full
             # (th, band_w) work — VPU int32 divide is slow enough
@@ -915,7 +915,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         # whose worst-case |w| * per-output sum|c| could overflow 2**31
         # (and plans with unbounded work rows) — they fall back to the
         # exact schemes / XLA instead of silently corrupting
-        wmax = 32767 if plan.wrap16 else (
+        wmax = 32768 if plan.wrap16 else (   # wrapped w reaches -32768
             65280 if _u16_work_ok(plan) else None)
         csum = int(np.abs(x.coef.astype(np.int64)).sum(axis=1).max())
         if wmax is None or wmax * csum >= 2**31:

@@ -78,3 +78,31 @@ def test_cli_bad_method(tmp_path):
         cwd=Path(__file__).resolve().parents[1])
     assert rc.returncode == 2
     assert "unknown method" in rc.stderr
+
+def test_cli_bad_input_preserves_output(tmp_path):
+    """A missing/short input must not create or truncate the output file
+    (the input is validated before the output path is opened)."""
+    dst = tmp_path / "out.yuv"
+    dst.write_bytes(b"PRECIOUS")
+    rc = subprocess.run(
+        [sys.executable, "-m", "libiqo_tpu.cli.resize_yuv420p",
+         "-m", "area", "-i", str(tmp_path / "missing.yuv"),
+         "-iw", "64", "-ih", "48",
+         "-o", str(dst), "-ow", "32", "-oh", "24", "--backend", "numpy"],
+        capture_output=True, text=True,
+        cwd=Path(__file__).resolve().parents[1])
+    assert rc.returncode == 1
+    assert "could not read" in rc.stderr
+    assert dst.read_bytes() == b"PRECIOUS"
+    # short input (half a frame): same guarantee
+    (tmp_path / "short.yuv").write_bytes(b"\x00" * 100)
+    rc = subprocess.run(
+        [sys.executable, "-m", "libiqo_tpu.cli.resize_yuv420p",
+         "-m", "area", "-i", str(tmp_path / "short.yuv"),
+         "-iw", "64", "-ih", "48",
+         "-o", str(dst), "-ow", "32", "-oh", "24", "--backend", "numpy"],
+        capture_output=True, text=True,
+        cwd=Path(__file__).resolve().parents[1])
+    assert rc.returncode == 1
+    assert "no complete frames" in rc.stderr
+    assert dst.read_bytes() == b"PRECIOUS"

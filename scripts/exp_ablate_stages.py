@@ -62,8 +62,12 @@ def main() -> None:
     src = jax.device_put(rng.integers(0, 256, (batch, sh, sw), np.uint8))
     gold = numpy_ref.resize_u8(plan, np.asarray(src[0]))
 
+    # the relaxed X pass has no s8 work split (one bf16 dot straight off
+    # the work tile), so the 'split' cut does not exist in that kernel —
+    # running it would silently measure the full kernel
+    stages = tuple(s for s in STAGES if not (relaxed and s == "split"))
     prev_ms = None
-    for stage in STAGES:
+    for stage in stages:
         os.environ["LIBIQO_TPU_ABLATE"] = "" if stage == "full" else stage
         try:
             built = pr._make_padless_fn(plan, th_target=th, tw_target=tw,

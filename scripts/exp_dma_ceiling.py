@@ -43,6 +43,22 @@ def make_copy():
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.uint8))
 
 
+def make_copy_i32():
+    # same bytes as `copy` but moved as (H, W/4) int32 tiles — if this is
+    # materially faster, u8 streaming is element- or tiling-limited (not
+    # byte-limited) and a packed-operand kernel layout could pay
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    return pl.pallas_call(
+        kernel, grid=(H // TH,),
+        in_specs=[pl.BlockSpec((TH, W // 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TH, W // 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W // 4), jnp.int32))
+
+
 def make_readsum():
     def kernel(x_ref, o_ref):
         v = x_ref[...].astype(jnp.int32)
@@ -63,9 +79,9 @@ def slope_time(call, x, bytes_per_app):
             def body(i, carry):
                 x, acc = carry
                 x = jax.lax.dynamic_update_slice(
-                    x, i.astype(jnp.uint8).reshape(1, 1), (0, 0))
+                    x, i.astype(x.dtype).reshape(1, 1), (0, 0))
                 o = call(x)
-                return x, acc ^ o[:8, :128]
+                return x, acc ^ o[:8, :128].astype(jnp.uint8)
             _, acc = jax.lax.fori_loop(0, inner, body,
                                        (x, jnp.zeros((8, 128), jnp.uint8)))
             return acc[0, 0]
@@ -94,6 +110,10 @@ def main() -> None:
 
     dt, gbs = slope_time(jax.jit(make_copy()), x, 2 * H * W)
     print(f"copy     : {dt*1e6:8.1f} us  {gbs:6.1f} GB/s (r+w)", flush=True)
+    x32 = jax.device_put(
+        rng.integers(0, 256, (H, W), np.uint8).view(np.int32))
+    dt, gbs = slope_time(jax.jit(make_copy_i32()), x32, 2 * H * W)
+    print(f"copy_i32 : {dt*1e6:8.1f} us  {gbs:6.1f} GB/s (r+w)", flush=True)
     dt, gbs = slope_time(jax.jit(make_readsum()), x, H * W)
     print(f"readsum  : {dt*1e6:8.1f} us  {gbs:6.1f} GB/s (read)", flush=True)
 

@@ -14,9 +14,11 @@ it has no distributed backend at all.  The TPU-native equivalents:
   inside ``shard_map`` — the only communication in the whole framework,
   and it rides ICI between adjacent devices.
 
-tp/pp/ep have no analog here: there are no weight matrices to split, no
-layer pipeline, no experts — a resize plan's "weights" are KB-scale
-coefficient tables, replicated everywhere.
+The two compose over a 2-D mesh (``make_batch_row_sharded_fn``): frames
+over one axis, rows over the other, halos riding ICI along the row axis
+only.  tp/pp/ep have no analog here: there are no weight matrices to
+split, no layer pipeline, no experts — a resize plan's "weights" are
+KB-scale coefficient tables, replicated everywhere.
 """
 
 from __future__ import annotations
@@ -31,7 +33,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.plan import AxisPlan, ResizePlan
 from ..ops import pallas_resize, xla_resize
 
-__all__ = ["resize_batch_dp", "make_row_sharded_fn", "make_yuv_step_fn"]
+__all__ = ["resize_batch_dp", "make_row_sharded_fn",
+           "make_batch_row_sharded_fn", "make_yuv_step_fn"]
 
 
 def _local_backend(plan: ResizePlan, backend: str):
@@ -127,42 +130,46 @@ def _row_shard_layout(plan: ResizePlan, n: int):
 def _halo_exchange(src, axis: str, n: int, halo_up: int, halo_dn: int):
     """Extend a device's local row shard with neighbor halos over ICI.
 
-    Halos taller than one shard chain multiple ppermute hops: hop ``h``
-    carries the tail (up) / head (down) rows of the shard ``h`` devices
-    away, so any tap window is reachable regardless of the shard height.
-    Wrapped edges (rows that would come from before device 0 / after
-    device n-1) are masked to zero: the corresponding taps are zero too,
-    matching the reference dropping out-of-range taps at runtime.
+    Rows live on axis -2, so the same exchange serves (rows, w) shards and
+    batched (b, rows, w) shards (dp x sp meshes).  Halos taller than one
+    shard chain multiple ppermute hops: hop ``h`` carries the tail (up) /
+    head (down) rows of the shard ``h`` devices away, so any tap window is
+    reachable regardless of the shard height.  Wrapped edges (rows that
+    would come from before device 0 / after device n-1) are masked to
+    zero: the corresponding taps are zero too, matching the reference
+    dropping out-of-range taps at runtime.
     """
     idx = jax.lax.axis_index(axis)
-    hs = src.shape[0]
+    hs = src.shape[-2]
     up_parts, dn_parts = [], []
     for h in range(1, -(-halo_up // hs) + 1):
         t = min(hs, halo_up - (h - 1) * hs)    # rows carried by hop h
-        piece = src[hs - t:, :]
+        piece = src[..., hs - t:, :]
         moved = jax.lax.ppermute(piece, axis,
                                  [(i, (i + h) % n) for i in range(n)])
         up_parts.insert(0, jnp.where(idx >= h, moved, jnp.zeros_like(moved)))
     for h in range(1, -(-halo_dn // hs) + 1):
         t = min(hs, halo_dn - (h - 1) * hs)
-        piece = src[:t, :]
+        piece = src[..., :t, :]
         moved = jax.lax.ppermute(piece, axis,
                                  [(i, (i - h) % n) for i in range(n)])
         dn_parts.append(jnp.where(idx < n - h, moved, jnp.zeros_like(moved)))
     parts = up_parts + [src] + dn_parts
-    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else src
+    return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else src
 
 
 def _make_row_sharded_pallas(plan: ResizePlan, mesh: Mesh, axis: str,
-                             interpret: bool):
+                             interpret: bool, data_axis: str | None = None):
     """Row-sharded resize with the fused Pallas kernel as the per-device
     body: the halo-extended local band is a normal (band_rows, src_w) ->
     (hd, dst_w) resize whose Y layout is IDENTICAL on every device (exact
     shard divisibility makes the local tap starts shift-invariant) while
     the Y coefficient/deno/border VALUES differ per device — so the kernel
     is built once (streamed Y blocks) and the per-device values ride in as
-    sharded operands.  Returns None when this layout doesn't apply (caller
-    falls back to the XLA formulation)."""
+    sharded operands.  With ``data_axis`` the source carries a leading
+    frame axis sharded over it (dp x sp mesh); the kernel rides the local
+    batch as its outermost grid dimension.  Returns None when this layout
+    doesn't apply (caller falls back to the XLA formulation)."""
     n = mesh.shape[axis]
     hs, hd, halo_up, halo_dn, _ = _row_shard_layout(plan, n)
     band_rows = halo_up + hs + halo_dn
@@ -236,16 +243,17 @@ def _make_row_sharded_pallas(plan: ResizePlan, mesh: Mesh, axis: str,
         band = _halo_exchange(src, axis, n, halo_up, halo_dn)
         return fn(*cy, *cx, dy, by, *xt, band)
 
+    src_spec = P(data_axis, axis, None) if data_axis else P(axis, None)
     in_specs = (
         *[P(axis, None, None, None)] * n_cy,      # per-device Y blocks
         *[P()] * n_cx,                            # replicated X blocks
         P(axis, None, None),                      # deno_y
         P(axis, None, None),                      # border_y
         *[P()] * n_xt,                            # deno_x, border_x[, corr_x]
-        P(axis, None),                            # src rows
+        src_spec,                                 # src rows
     )
     sm = shard_map(local_fn, mesh=mesh, in_specs=in_specs,
-                   out_specs=P(axis, None), check_vma=False)
+                   out_specs=src_spec, check_vma=False)
     operands = (*cy_dev, *cx_ops, deno_dev, border_dev, *x_tail)
     return jax.jit(sm), operands
 
@@ -308,13 +316,22 @@ def make_row_sharded_fn(plan: ResizePlan, mesh: Mesh, axis: str = "row",
 
         return jax.jit(fn), operands
 
-    from jax import shard_map
-
     kind, interpret = _local_backend(plan, backend)
     if kind == "pallas":
         built = _make_row_sharded_pallas(plan, mesh, axis, interpret)
         if built is not None:
             return built
+    return _make_row_sharded_dense(plan, mesh, axis)
+
+
+def _make_row_sharded_dense(plan: ResizePlan, mesh: Mesh, axis: str,
+                            data_axis: str | None = None):
+    """Row-sharded resize with the dense XLA formulation as the per-device
+    body (the fallback when the Pallas layout doesn't apply).  With
+    ``data_axis`` the source carries a leading frame axis sharded over it;
+    the per-device math vmaps over the local frames AFTER the halo
+    exchange, so the collective runs once per step regardless of batch."""
+    from jax import shard_map
 
     n = mesh.shape[axis]
     hs, hd, halo_up, halo_dn, cy_blocks = _row_shard_layout(plan, n)
@@ -345,44 +362,93 @@ def make_row_sharded_fn(plan: ResizePlan, mesh: Mesh, axis: str = "row",
         # ---- halo exchange over ICI --------------------------------------
         band = _halo_exchange(src, axis, n, halo_up, halo_dn)
 
-        # ---- local Y pass + border epilogue ------------------------------
-        nume = xla_resize._matmul_coef_left(cy_p, ymode, band)
-        if wrap16:
-            w = xla_resize._wrap_i16(nume)
-            if y_has_border:
-                bval = xla_resize._wrap_i16(
-                    xla_resize._trunc_div(w * y_bias, deno_y[0]))
-                w = jnp.where(border_y[0], bval, w)
-        else:
-            w = nume
+        def compute(band2d):
+            # ---- local Y pass + border epilogue --------------------------
+            nume = xla_resize._matmul_coef_left(cy_p, ymode, band2d)
+            if wrap16:
+                w = xla_resize._wrap_i16(nume)
+                if y_has_border:
+                    bval = xla_resize._wrap_i16(
+                        xla_resize._trunc_div(w * y_bias, deno_y[0]))
+                    w = jnp.where(border_y[0], bval, w)
+            else:
+                w = nume
 
-        # ---- local X pass (full width on every device) -------------------
-        sums = xla_resize._matmul_work_right(w, cxt_p, xmode)
-        half = 1 << (out_shift - 1)
-        main = (sums + half) >> out_shift
-        if x_has_border:
-            bval = xla_resize._trunc_div(sums + half, t_deno_x * y_bias)
-            v = jnp.where(t_border_x, bval, main)
-        else:
-            v = main
-        v = xla_resize._wrap_i16(v)
-        return jnp.clip(v, 0, 255).astype(jnp.uint8)
+            # ---- local X pass (full width on every device) ---------------
+            sums = xla_resize._matmul_work_right(w, cxt_p, xmode)
+            half = 1 << (out_shift - 1)
+            main = (sums + half) >> out_shift
+            if x_has_border:
+                bval = xla_resize._trunc_div(sums + half, t_deno_x * y_bias)
+                v = jnp.where(t_border_x, bval, main)
+            else:
+                v = main
+            v = xla_resize._wrap_i16(v)
+            return jnp.clip(v, 0, 255).astype(jnp.uint8)
+
+        return jax.vmap(compute)(band) if data_axis else compute(band)
 
     deno_y = np.where(plan.y.deno == 0, 1, plan.y.deno).astype(np.int32)
     deno_y = deno_y.reshape(n, hd)[:, :, None]
     border_y = plan.y.is_border.reshape(n, hd)[:, :, None]
 
+    src_spec = P(data_axis, axis, None) if data_axis else P(axis, None)
     in_specs = (
         *[P(axis, None, None)] * n_cy,          # per-device Cy blocks
         *[P()] * len(t.cxt),                    # replicated X tables
         P(axis, None, None),                    # deno_y blocks
         P(axis, None, None),                    # border_y blocks
-        P(axis, None),                          # src rows
+        src_spec,                               # src rows
     )
     sm = shard_map(local_fn, mesh=mesh,
-                   in_specs=in_specs, out_specs=P(axis, None))
+                   in_specs=in_specs, out_specs=src_spec)
     operands = (*cy_pack, *t.cxt, deno_y, border_y)
     return jax.jit(sm), operands
+
+
+def make_batch_row_sharded_fn(plan: ResizePlan, mesh: Mesh,
+                              data_axis: str = "data", row_axis: str = "row",
+                              backend: str = "auto"):
+    """dp x sp over a 2-D mesh: resize a (B, src_h, src_w) u8 batch with
+    frames sharded over ``data_axis`` AND rows over ``row_axis``.
+
+    Composes the two parallelism modes: frame parallelism needs no
+    communication; the Y-pass halos move via ppermute along ``row_axis``
+    only, so the collective rides ICI between row-neighbors and scales
+    with mesh rows, not total devices.  Any batch size and any height
+    work (zero-padded to the mesh extents and sliced back).  The
+    per-device body is the fused Pallas kernel when the layout allows
+    (local frames ride its outermost grid dimension), else the dense XLA
+    formulation vmapped over local frames.
+
+    Returns (fn, operands): call fn(*operands, batch) with batch
+    (B, src_h, src_w); output is (B, dst_h, dst_w), sharded the same way.
+    """
+    n_data = mesh.shape[data_axis]
+    n_row = mesh.shape[row_axis]
+    plan_p, src_pad, dst_pad = _pad_rows_plan(plan, n_row)
+
+    kind, interpret = _local_backend(plan_p, backend)
+    built = None
+    if kind == "pallas":
+        built = _make_row_sharded_pallas(plan_p, mesh, row_axis, interpret,
+                                         data_axis=data_axis)
+    if built is None:
+        built = _make_row_sharded_dense(plan_p, mesh, row_axis,
+                                        data_axis=data_axis)
+    inner, operands = built
+    true_dst = plan_p.y.n_dst - dst_pad
+
+    def fn(*args):
+        *ops, src = args
+        b = src.shape[0]
+        b_pad = -b % n_data
+        if b_pad or src_pad:
+            src = jnp.pad(src, ((0, b_pad), (0, src_pad), (0, 0)))
+        out = inner(*ops, src)
+        return out[:b, :true_dst]
+
+    return jax.jit(fn), operands
 
 
 def make_yuv_step_fn(mesh: Mesh, src_w: int, src_h: int, dst_w: int, dst_h: int,

@@ -185,3 +185,33 @@ def test_padded_resize_batch_preserves_jax_arrays():
     assert oy.shape == (2, 24, 32)  # evened stride layout
     assert (np.asarray(oy)[:, 23:, :] == 0).all()
     assert (np.asarray(oy)[:, :, 31:] == 0).all()
+
+@pytest.mark.parametrize("backend", ["auto", "pallas"])
+def test_batch_row_sharded_2d_mesh(backend):
+    """dp x sp composition on a 2x4 mesh: frames over 'data', rows over
+    'row'; byte-exact vs the oracle for every frame.  Odd batch (3 pads
+    to 4) and non-divisible height (96 rows over 4 shards divides; 50
+    dst rows pad) exercise both pad-and-slice paths."""
+    mesh = _mesh((2, 4), ("data", "row"))
+    plan = build_plan("lanczos", 128, 96, 96, 50, degree=3)
+    fn, operands = sharding.make_batch_row_sharded_fn(
+        plan, mesh, backend=backend)
+    frames = RNG.integers(0, 256, (3, 96, 128), np.uint8)
+    out = np.asarray(fn(*operands, frames))
+    assert out.shape == (3, 50, 96)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            out[i], numpy_ref.resize_u8(plan, frames[i]))
+
+
+def test_batch_row_sharded_dense_fallback():
+    """The dense XLA body (vmapped over local frames) on the 2-D mesh."""
+    mesh = _mesh((2, 4), ("data", "row"))
+    plan = build_plan("area", 160, 120, 40, 32)
+    fn, operands = sharding.make_batch_row_sharded_fn(
+        plan, mesh, backend="xla")
+    frames = RNG.integers(0, 256, (4, 120, 160), np.uint8)
+    out = np.asarray(fn(*operands, frames))
+    for i in range(4):
+        np.testing.assert_array_equal(
+            out[i], numpy_ref.resize_u8(plan, frames[i]))

@@ -172,3 +172,49 @@ def test_s8_envelope_big_tap_geometry():
     src = RNG.integers(0, 256, (614, 363), np.uint8)
     got = np.asarray(jax.jit(fn)(*ops, src))
     np.testing.assert_array_equal(got, numpy_ref.resize_u8(plan, src))
+
+# ---------------------------------------------------------------------------
+# seeded random geometry fuzz through the INTERPRET kernel: catches scheme-
+# selection edges (s8 range gates, u16-work splits, clamped tail windows)
+# that the curated CASES miss.  Raise LIBIQO_PALLAS_FUZZ_N locally for a
+# deeper sweep; scripts/tpu_check.py fuzzes the COMPILED kernel on chip.
+# ---------------------------------------------------------------------------
+import os
+
+PALLAS_FUZZ_N = int(os.environ.get("LIBIQO_PALLAS_FUZZ_N", "8"))
+
+
+@pytest.mark.parametrize("i", range(PALLAS_FUZZ_N))
+def test_pallas_fuzz_geometries(i):
+    import jax
+
+    rng = np.random.default_rng(7000 + i)
+    algo = ("lanczos", "area", "linear")[int(rng.integers(3))]
+    sw, sh = int(rng.integers(16, 520)), int(rng.integers(16, 400))
+    if algo == "area":          # down only
+        dw, dh = int(rng.integers(8, sw)), int(rng.integers(8, sh))
+    elif algo == "linear":      # up only (down degrades, still defined)
+        dw, dh = int(rng.integers(sw, 700)), int(rng.integers(sh, 560))
+    else:
+        dw, dh = int(rng.integers(8, 700)), int(rng.integers(8, 560))
+    kw = dict(degree=int(rng.integers(1, 10)),
+              px_scale=int(rng.integers(1, 3))) if algo == "lanczos" else {}
+    plan = build_plan(algo, sw, sh, dw, dh, **kw)
+    if algo == "lanczos" and (
+            plan.y.main_begin > plan.y.n_dst
+            or any((ax.deno[ax.is_border] == 0).any()
+                   for ax in (plan.y, plan.x))):
+        pytest.skip("reference-UB corner (covered by assert_defined_divergence)")
+    if not pallas_resize.supports_plan(plan):
+        pytest.skip("geometry outside pallas fast path")
+    try:
+        fn, ops = pallas_resize.make_resize_fn(plan, interpret=True)
+    except ValueError:
+        pytest.skip("padless build infeasible (falls back to XLA in api)")
+    src = rng.integers(0, 256, (sh, sw), np.uint8)
+    got = np.asarray(jax.jit(fn)(*ops, src))
+    want = numpy_ref.resize_u8(plan, src)
+    np.testing.assert_array_equal(
+        got, want,
+        err_msg=f"{algo}{kw.get('degree', '')} px{kw.get('px_scale', 1)} "
+                f"{sw}x{sh}->{dw}x{dh} seed {7000 + i}")

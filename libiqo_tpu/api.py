@@ -69,17 +69,28 @@ def _cache_get(key):
     return value
 
 
-_WARMUP_POOL = None
+def _spawn_warmup(fn, *args):
+    """Run ``fn`` on a daemon thread, returning a Future.
 
+    Deliberately not a ThreadPoolExecutor: its threads are non-daemon and
+    joined at interpreter exit, so a warmup wedged on an unresponsive TPU
+    tunnel (a failure mode this environment has hit) would block process
+    exit forever.  A daemon thread lets the process exit cleanly."""
+    import concurrent.futures
+    import threading
 
-def _warmup_pool():
-    global _WARMUP_POOL
-    if _WARMUP_POOL is None:
-        import concurrent.futures
+    fut: "concurrent.futures.Future" = concurrent.futures.Future()
 
-        _WARMUP_POOL = concurrent.futures.ThreadPoolExecutor(
-            max_workers=2, thread_name_prefix="libiqo-warmup")
-    return _WARMUP_POOL
+    def run():
+        if not fut.set_running_or_notify_cancel():
+            return
+        try:
+            fut.set_result(fn(*args))
+        except BaseException as e:  # noqa: BLE001 — relayed via the future
+            fut.set_exception(e)
+
+    threading.Thread(target=run, name="libiqo-warmup", daemon=True).start()
+    return fut
 
 
 _cache_configured = False
@@ -260,10 +271,10 @@ class Resizer:
         return self
 
     def warmup_async(self, batch: int | None = None):
-        """``warmup`` on a background thread (jit compilation is
+        """``warmup`` on a background daemon thread (jit compilation is
         thread-safe); returns a ``concurrent.futures.Future`` resolving to
         ``self`` so servers can overlap startup work."""
-        return _warmup_pool().submit(self.warmup, batch)
+        return _spawn_warmup(self.warmup, batch)
 
 
 class LanczosResizer(Resizer):

@@ -206,6 +206,17 @@ def _bf16_relaxed_plane(blocks: np.ndarray) -> np.ndarray:
     return bf
 
 
+def _y_bytes_exact_ok(blocks: np.ndarray) -> bool:
+    """Exactness of the hi/lo byte-plane Y dot (the non-s8, non-single
+    fallback): plane values are always bf16-exact (hi in [-128, 127], lo in
+    [0, 255]), so exactness only needs each plane's per-row |tap| sums
+    against a 255-max u8 band to keep every f32 partial sum < 2**24."""
+    b = blocks.astype(np.int64)
+    hi = int(np.abs(b >> 8).sum(axis=-1).max())
+    lo = int((b & 255).sum(axis=-1).max())
+    return max(hi, lo) <= (1 << 24) // 255
+
+
 def _kara_ok(blocks: np.ndarray, axis: int) -> bool:
     """Whether the balanced Karatsuba split (see _kara_planes) is exact for
     these coefficient blocks.  Fails for pathological px_scale phases whose
@@ -940,13 +951,25 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     # exactness guard: the bf16 schemes need _exact_f32_ok's bounds;
     # plans admitted via the _exact_s8*_ok gates alone must land on
     # self-contained exact schemes: the all-integer s8 X (or a single
-    # exact bf16 X plane) plus an s8 or single-bf16-plane Y
+    # exact bf16 X plane) plus a self-contained exact Y (s8, single
+    # bf16 plane, or bounded hi/lo byte planes)
     # (force_streamed_y disables s8_y, so such builds refuse)
-    if not _exact_f32_ok(plan) and not x_relaxed:
-        if not (x_s8 or x_single):
-            return None
-        if not (s8_y or _single_plane_ok(cy_src, axis=-1)):
-            return None
+    if not _exact_f32_ok(plan):
+        y_self_exact = (s8_y or _single_plane_ok(cy_src, axis=-1)
+                        or _y_bytes_exact_ok(cy_src))
+        if x_relaxed:
+            # the docstring contract is "The Y pass stays exact": a
+            # relaxed plan outside _exact_f32_ok (e.g. a >258-tap extreme
+            # downscale admitted only by the wmax*csum guard above) whose
+            # Y scheme is not self-contained exact would get an
+            # f32-inexact lo-plane Y dot, silently exceeding the
+            # documented ~2 LSB bound — refuse so the exact/XLA fallback
+            # ladder engages instead
+            if not y_self_exact:
+                return None
+        else:
+            if not (x_s8 or x_single) or not y_self_exact:
+                return None
 
     if x_relaxed:
         c0s = [_bf16_relaxed_plane(s) for s in slabs]

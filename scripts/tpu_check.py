@@ -74,9 +74,88 @@ def fuzz_cases(n, seed=20260816):
     return cases
 
 
+def relaxed_sweep(n_fuzz: int):
+    """Compiled on-chip gate for the relaxed-precision kernel (VERDICT r3
+    #5): the graded configs, a seeded fuzz set (distinct seed from the
+    exact sweep, incl. px2 chroma draws), and a FORCED residual-plane case
+    (the second-dot Mosaic program otherwise never compiles: the bf16
+    column-sum repair converges for every natural geometry).  Contract:
+    max error <= MAX_RELAXED_LSB and flat fields byte-match the oracle."""
+    import jax
+    import numpy as np
+
+    from libiqo_tpu.core.plan import build_plan
+    from libiqo_tpu.golden import numpy_ref
+    from libiqo_tpu.ops import pallas_resize
+
+    MAX_RELAXED_LSB = 3    # measured ceiling 2.2 (scripts/exp_x_schemes.py)
+    rng = np.random.default_rng(7)
+    cases = [(c, False) for c in GRADED]
+    # px2 chroma fuzz: the pathological int16-wrapped tap phases live here
+    px2 = [("lanczos", 482, 270, 240, 134, dict(degree=3, px_scale=2)),
+           ("lanczos", 638, 360, 320, 178, dict(degree=2, px_scale=2))]
+    cases += [(c, False) for c in px2]
+    cases += [(c, False) for c in fuzz_cases(n_fuzz, seed=20260818)]
+    # forced residual plane: stub the repair with plain rounding so the
+    # build adds the exact residual plane (tests/test_relaxed.py pins the
+    # interpret-mode behavior; this compiles the real Mosaic program)
+    cases.append((GRADED[3], True))
+
+    rows, n_fail, n_skip = [], 0, 0
+    real_repair = pallas_resize._bf16_relaxed_plane
+    for (alg, sw, sh, dw, dh, kw), force_resid in cases:
+        name = f"{alg}{kw.get('degree', '')} {sw}x{sh}->{dw}x{dh}" + \
+            (" px2" if kw.get("px_scale") else "") + \
+            (" [resid]" if force_resid else "")
+        plan = build_plan(alg, sw, sh, dw, dh, **kw)
+        if force_resid:
+            import jax.numpy as jnp
+            pallas_resize._bf16_relaxed_plane = \
+                lambda b: b.astype(np.float32).astype(jnp.bfloat16)
+        try:
+            fn, ops = pallas_resize.make_resize_fn(plan, relaxed=True)
+        except ValueError:
+            required = force_resid or (alg, sw, sh, dw, dh, kw) in GRADED
+            rows.append({"case": name,
+                         "status": "FAIL-infeasible" if required
+                         else "skip-infeasible"})
+            n_fail += required
+            n_skip += not required
+            continue
+        finally:
+            pallas_resize._bf16_relaxed_plane = real_repair
+        dops = tuple(jax.device_put(o) for o in ops)
+        jf = jax.jit(fn)
+        src = rng.integers(0, 256, (sh, sw), np.uint8)
+        for attempt in range(2):
+            try:
+                got = np.asarray(jf(*dops, src))
+                break
+            except Exception as e:  # noqa: BLE001
+                if attempt == 1:
+                    raise
+                print(f"  retrying {name} after {type(e).__name__}",
+                      flush=True)
+                time.sleep(2)
+        want = numpy_ref.resize_u8(plan, src)
+        err = int(np.abs(got.astype(np.int32) - want.astype(np.int32)).max())
+        flat_src = np.full((sh, sw), 128, np.uint8)
+        flat_ok = bool((np.asarray(jf(*dops, flat_src))
+                        == numpy_ref.resize_u8(plan, flat_src)).all())
+        ok = err <= MAX_RELAXED_LSB and flat_ok
+        n_fail += not ok
+        rows.append({"case": name, "status": "ok" if ok else "FAIL",
+                     "max_lsb_err": err, "flat128_ok": flat_ok})
+        print(f"{'OK  ' if ok else 'FAIL'} relaxed {name}  "
+              f"(max LSB err {err}, flat {flat_ok})", flush=True)
+    return rows, n_fail, n_skip
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fuzz", type=int, default=20)
+    ap.add_argument("--relaxed-fuzz", type=int, default=8)
+    ap.add_argument("--no-relaxed", action="store_true")
     ap.add_argument("--mode", default="auto", choices=["auto", "padless"])
     args = ap.parse_args()
 
@@ -165,17 +244,25 @@ def main() -> None:
                 print(f"{'OK  ' if okb else 'FAIL'} {name} [batch{b}]  "
                       f"(max LSB err {errb})", flush=True)
 
+    relaxed_rows = []
+    if not args.no_relaxed:
+        relaxed_rows, rf, rs = relaxed_sweep(args.relaxed_fuzz)
+        n_fail += rf
+        n_skip += rs
+
     summary = {
         "platform": platform,
         "mode": args.mode,
-        "n_cases": len(results),
+        "n_cases": len(results) + len(relaxed_rows),
         "n_fail": n_fail,
         "n_skip": n_skip,
         "results": results,
+        "relaxed": relaxed_rows,
     }
     with open("scripts/tpu_check_result.json", "w") as f:
         json.dump(summary, f, indent=1)
-    print(f"\n{len(results)} cases: {n_fail} failures, {n_skip} skipped "
+    print(f"\n{len(results)} exact + {len(relaxed_rows)} relaxed cases: "
+          f"{n_fail} failures, {n_skip} skipped "
           f"-> scripts/tpu_check_result.json")
     sys.exit(1 if n_fail else 0)
 

@@ -89,10 +89,11 @@ def test_relaxed_yuv_plumbing():
 
 
 def test_relaxed_refusal_falls_back_exact():
-    """Plans the relaxed overflow guard refuses (or whose relaxed build
-    is VMEM-infeasible) must silently serve the exact path instead of
-    erroring.  16x200000 blows the padless VMEM envelope entirely, so
-    the resizer lands on XLA — exact — even with precision="relaxed"."""
+    """Extreme-geometry relaxed resizers must serve correct results
+    through whatever rung of the ladder admits them (as of round 4 the
+    16x20000 band fits the padless VMEM envelope again, so this lands on
+    the relaxed pallas kernel; tests/test_fallback_seams.py pins the
+    genuinely infeasible 8x200000 case landing on XLA)."""
     from libiqo_tpu import AreaResizer
 
     plan = build_plan("area", 16, 20000, 16, 31)

@@ -95,6 +95,59 @@ class _Axis:
     halo: int = 0        # 0 = Element mode for this axis
 
 
+def _exact_trunc_div(n, d_small, shape):
+    """Exact C-style (truncate-toward-zero) int32 division ``n / d`` with
+    the VPU divide strength-reduced to f32-reciprocal multiplies plus
+    integer corrections.
+
+    Why: the border-renorm epilogues divide whole (th x 128)+ slabs every
+    grid step, and the VPU integer divide is the kernel's most expensive
+    op by far (measured ~1.6e10 divides/s on v5e, NOTES.md — ~250x a basic
+    VPU op; the reference pays the same cost class in its scalar
+    ``roundedDiv``, ref: src/IQOLanczosResizerImpl_Generic.cpp:216-220).
+    This scheme is ~10-20x cheaper: ~6 multiplies + casts + selects.
+
+    Exactness (required — the divide feeds byte-exact output):
+    * ``d_small`` (the pre-broadcast deno row/column) is reciprocated ONCE
+      per element, then broadcast; 1/f32(d) and f32(n) carry <= 2**-24
+      relative error each, so q0 = trunc(f32(n) * inv) is within
+      ~3*2**-24 * |n/d| + 1 of the true quotient (<= 385 at |n| < 2**31).
+    * Two refinement rounds against the EXACT int32 remainder r = n - q*d
+      (i32 wrap keeps r exact whenever |true r| < 2**31) shrink the error
+      to < 2 quotient units; two conditional +-1 rounds and a final
+      sign-fix land exactly on C trunc semantics for every int32 dividend
+      (including -2**31) and every nonzero divisor.
+    * |d| == 1 short-circuits to n * sign(d): it is the one divisor class
+      where |n/d| can reach 2**31 and make the f32->i32 cast saturate.
+
+    ``LIBIQO_TPU_REAL_DIV=1`` keeps jax.lax.div (measurement A/B only).
+    """
+    import os
+
+    if os.environ.get("LIBIQO_TPU_REAL_DIV"):    # read at trace time
+        return jax.lax.div(n, jnp.broadcast_to(d_small, shape))
+    f32, i32 = jnp.float32, jnp.int32
+    sgn_d = jnp.where(d_small < 0, i32(-1), i32(1))
+    absd = d_small * sgn_d
+    inv = 1.0 / d_small.astype(f32)
+    sgn_d = jnp.broadcast_to(sgn_d, shape)
+    absd = jnp.broadcast_to(absd, shape)
+    inv = jnp.broadcast_to(inv, shape)
+    d = jnp.broadcast_to(d_small, shape)
+    q = (n.astype(f32) * inv).astype(i32)
+    r = n - q * d
+    for _ in range(2):                    # refine: |q - n/d| -> < 2
+        q = q + (r.astype(f32) * inv).astype(i32)
+        r = n - q * d
+    for _ in range(2):                    # push r into (-|d|, |d|)
+        q = q + jnp.where(r >= absd, sgn_d, 0) - jnp.where(r <= -absd, sgn_d, 0)
+        r = n - q * d
+    # trunc-toward-zero: the remainder's sign must follow the dividend's
+    q = (q - jnp.where((n >= 0) & (r < 0), sgn_d, 0)
+         + jnp.where((n < 0) & (r > 0), sgn_d, 0))
+    return jnp.where(absd == 1, n * sgn_d, q)
+
+
 def _tile_axis(ax: AxisPlan, tile: int, align: int):
     """Pick the affine band window ``base + t*step`` covering every tile's
     true source range [min start, max start + taps), with any drift between
@@ -1266,16 +1319,15 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                     ww = work_ref[...]
                     if x_s8:
                         ww = ((ww + 32768) & 65535) - 32768
-                    bval = jax.lax.div(
-                        ww * y_bias, jnp.broadcast_to(dy_ref[...], ww.shape))
+                    bval = _exact_trunc_div(ww * y_bias, dy_ref[...],
+                                            ww.shape)
                     bval = ((bval + 32768) & 65535) - 32768
                     work_ref[...] = jnp.where(by_ref[...] > 0, bval, ww)
 
                 w = work_ref[...]
             elif y_has_border:
                 ww = ((w + 32768) & 65535) - 32768 if x_s8 else w
-                bval = jax.lax.div(ww * y_bias,
-                                   jnp.broadcast_to(dy_ref[...], ww.shape))
+                bval = _exact_trunc_div(ww * y_bias, dy_ref[...], ww.shape)
                 bval = ((bval + 32768) & 65535) - 32768
                 w = jnp.where(by_ref[...] > 0, bval, ww)
         else:
@@ -1407,9 +1459,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             def seg(a, b, with_div):
                 m = main[:, a:b]
                 if with_div:
-                    bval = jax.lax.div(
-                        sums[:, a:b] + half,
-                        jnp.broadcast_to(dxv[:, a:b] * y_bias, m.shape))
+                    bval = _exact_trunc_div(
+                        sums[:, a:b] + half, dxv[:, a:b] * y_bias, m.shape)
                     m = jnp.where(bxv[:, a:b] > 0, bval, m)
                 return m
 
@@ -1429,17 +1480,16 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
 
             @pl.when(hit)
             def _():
-                bval = jax.lax.div(
-                    sums + half,
-                    jnp.broadcast_to(dx_ref[...] * y_bias, sums.shape))
+                bval = _exact_trunc_div(sums + half, dx_ref[...] * y_bias,
+                                        sums.shape)
                 vv = jnp.where(bx_ref[...] > 0, bval, main)
                 vv = ((vv + 32768) & 65535) - 32768
                 out_ref[fi] = jnp.clip(vv, 0, 255).astype(jnp.uint8)
 
             return
         if x_has_border:
-            bval = jax.lax.div(sums + half,
-                               jnp.broadcast_to(dx_ref[...] * y_bias, sums.shape))
+            bval = _exact_trunc_div(sums + half, dx_ref[...] * y_bias,
+                                    sums.shape)
             v = jnp.where(bx_ref[...] > 0, bval, main)
         else:
             v = main

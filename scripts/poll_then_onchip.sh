@@ -13,8 +13,8 @@ while true; do
     echo "[poll $i] $(date -u +%H:%M:%S) probing TPU..."
     if timeout 300 python -c "import jax; d=jax.devices(); assert d[0].platform=='tpu', d; print('TPU UP:', d)"; then
         touch "$FLAG"
-        echo "[poll $i] TPU is up — starting r3_onchip.sh"
-        bash scripts/r3_onchip.sh scripts/r3_onchip_logs
+        echo "[poll $i] TPU is up — starting r4_onchip.sh"
+        bash scripts/r4_onchip.sh scripts/r4_onchip_logs
         echo "RUNBOOK DONE rc=$?"
         break
     fi

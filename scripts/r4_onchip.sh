@@ -1,0 +1,51 @@
+#!/bin/bash
+# Round-4 on-chip runbook (supersedes r3_onchip.sh): everything blocked on
+# the TPU tunnel, one pass, each step logged and independent.
+#
+#   bash scripts/r4_onchip.sh [logdir]
+#
+# Steps:
+#   1. tpu_check.py        -> byte-exactness gate: exact sweep (36 cases,
+#                             now incl. the strength-reduced border divide
+#                             and frame-stacked batches) + NEW relaxed
+#                             sweep (graded + px2 fuzz + forced residual
+#                             plane)  [artifact: tpu_check_result.json]
+#   2. relaxed             -> regenerate check_relaxed_result.json post-fix
+#                             (the committed one predates the residual-
+#                             plane fix and contains a stale FAIL row)
+#   3. div A/B             -> the round-4 multiply-based exact division vs
+#                             LIBIQO_TPU_REAL_DIV=1 (jax.lax.div) on the
+#                             headline + upsample configs: keep or revert
+#   4. ablation            -> per-stage exposed cost, luma AND upsample
+#                             (locates the non-X wall; VERDICT r3 #3/#4)
+#   5. video64 A/B         -> frame stacking bf=auto vs bf=1 (keep or kill)
+#   6. dma_ceiling         -> u8/i32 HBM streaming ceiling vs the kernel
+#   7. configs (+relaxed)  -> all graded config rows for BASELINE.md
+#   8. bench.py            -> the driver metric JSON line
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-scripts/r4_onchip_logs}
+mkdir -p "$LOG"
+
+run() {  # run <name> <cmd...>
+    local name=$1; shift
+    echo "=== $name: $*" | tee -a "$LOG/summary.txt"
+    ( time timeout 7200 "$@" ) >"$LOG/$name.log" 2>&1
+    local rc=$?
+    echo "--- $name exit=$rc" | tee -a "$LOG/summary.txt"
+    tail -n 20 "$LOG/$name.log" | sed 's/^/    /'
+}
+
+run tpu_check        python scripts/tpu_check.py
+run relaxed          python scripts/check_relaxed_tpu.py
+run div_fast         python scripts/bench_configs.py luma4k upsample chroma
+run div_lax          env LIBIQO_TPU_REAL_DIV=1 python scripts/bench_configs.py luma4k upsample chroma
+run ablate_luma      python scripts/exp_ablate_stages.py luma
+run ablate_upsample  python scripts/exp_ablate_stages.py upsample
+run video64_auto     python scripts/bench_video64.py
+run video64_bf1      env LIBIQO_TPU_BF=1 python scripts/bench_video64.py
+run dma_ceiling      python scripts/exp_dma_ceiling.py
+run configs          python scripts/bench_configs.py
+run configs_relaxed  python scripts/bench_configs.py --relaxed
+run bench            python bench.py
+echo "DONE — read $LOG/summary.txt, update BASELINE.md/NOTES.md, commit artifacts."

@@ -74,6 +74,61 @@ def fuzz_cases(n, seed=20260816):
     return cases
 
 
+def div_sweep():
+    """Compiled on-chip gate for _exact_trunc_div (the strength-reduced
+    border-renorm division, round 4): its exactness argument leans on
+    f32 reciprocal rounding and f32->i32 cast behavior, both of which
+    Mosaic may lower differently than the CPU path the unit fuzz
+    (tests/test_exact_div.py) runs on — the same interpret-mode trap
+    that broke the f32_2dot X scheme (NOTES.md).  Re-runs the hard
+    vector classes on the real chip against jax.lax.div."""
+    import jax
+    import jax.numpy as jnp
+
+    from libiqo_tpu.ops.pallas_resize import _exact_trunc_div
+
+    rng = np.random.default_rng(20260818)
+    I32_MIN, I32_MAX = -2**31, 2**31 - 1
+
+    vecs = []
+    # full-range random over every divisor magnitude class
+    n = rng.integers(I32_MIN, I32_MAX + 1, 1 << 16, dtype=np.int64)
+    mag = np.concatenate([rng.integers(1, 1 << 8, 1 << 14),
+                          rng.integers(1, 1 << 16, 1 << 14),
+                          rng.integers(1, 1 << 22, 1 << 14),
+                          rng.integers(1, 1 << 29, 1 << 13)])
+    d = rng.choice(mag, n.size) * rng.choice([-1, 1], n.size)
+    vecs.append(("random", n, d))
+    # exact multiples and +-1 neighbors: where trunc flips value
+    d2 = rng.integers(2, 1 << 21, 3 << 14, dtype=np.int64) \
+        * rng.choice([-1, 1], 3 << 14)
+    k = rng.integers(-(1 << 20), 1 << 20, d2.size, dtype=np.int64)
+    base = np.clip(k * d2, I32_MIN + 1, I32_MAX - 1)
+    off = np.tile([-1, 0, 1], d2.size // 3)
+    vecs.append(("multiples", base + off, d2))
+    # extremes
+    ne = np.array([I32_MIN, I32_MIN + 1, I32_MAX, I32_MAX - 1,
+                   0, 1, -1, 2**30, -2**30] * 9)
+    de = np.repeat([1, -1, 2, -2, 3, 64, -64, 65535, 2**21 - 1], 9)
+    vecs.append(("extremes", ne, de))
+
+    rows, n_fail = [], 0
+    jf = jax.jit(lambda a, b: (_exact_trunc_div(a, b, a.shape),
+                               jax.lax.div(a, jnp.broadcast_to(b, a.shape))))
+    for name, n, d in vecs:
+        n = n.astype(np.int32).reshape(1, -1)
+        d = d.astype(np.int32).reshape(1, -1)
+        got, want = (np.asarray(v) for v in jf(n, d))
+        bad = int((got != want).sum())
+        ok = bad == 0
+        n_fail += not ok
+        rows.append({"case": f"div {name}", "status": "ok" if ok else "FAIL",
+                     "n": int(n.size), "mismatches": bad})
+        print(f"{'OK  ' if ok else 'FAIL'} div {name}  "
+              f"({n.size} vectors, {bad} mismatches)", flush=True)
+    return rows, n_fail
+
+
 def relaxed_sweep(n_fuzz: int):
     """Compiled on-chip gate for the relaxed-precision kernel (VERDICT r3
     #5): the graded configs, a seeded fuzz set (distinct seed from the
@@ -174,8 +229,9 @@ def main() -> None:
         sys.exit(2)
 
     rng = np.random.default_rng(0)
+    div_rows, div_fail = div_sweep()
     results = []
-    n_fail = n_skip = 0
+    n_fail, n_skip = div_fail, 0
     must_build = {id(c) for c in GRADED + STRESS}
     for case in GRADED + STRESS + fuzz_cases(args.fuzz):
         alg, sw, sh, dw, dh, kw = case
@@ -253,11 +309,12 @@ def main() -> None:
     summary = {
         "platform": platform,
         "mode": args.mode,
-        "n_cases": len(results) + len(relaxed_rows),
+        "n_cases": len(results) + len(relaxed_rows) + len(div_rows),
         "n_fail": n_fail,
         "n_skip": n_skip,
         "results": results,
         "relaxed": relaxed_rows,
+        "div": div_rows,
     }
     with open("scripts/tpu_check_result.json", "w") as f:
         json.dump(summary, f, indent=1)

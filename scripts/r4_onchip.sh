@@ -42,6 +42,7 @@ run div_fast         python scripts/bench_configs.py luma4k upsample chroma
 run div_lax          env LIBIQO_TPU_REAL_DIV=1 python scripts/bench_configs.py luma4k upsample chroma
 run ablate_luma      python scripts/exp_ablate_stages.py luma
 run ablate_upsample  python scripts/exp_ablate_stages.py upsample
+run tiles_upsample   python scripts/tile_sweep.py upsample
 run video64_auto     python scripts/bench_video64.py
 run video64_bf1      env LIBIQO_TPU_BF=1 python scripts/bench_video64.py
 run dma_ceiling      python scripts/exp_dma_ceiling.py

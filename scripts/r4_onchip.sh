@@ -36,9 +36,12 @@ run() {  # run <name> <cmd...>
     tail -n 20 "$LOG/$name.log" | sed 's/^/    /'
 }
 
+# Ordered by value-if-the-tunnel-dies-mid-run: correctness record first,
+# then the driver metric, then the measurement campaign.
 run tpu_check        python scripts/tpu_check.py
+run bench            python bench.py
 run relaxed          python scripts/check_relaxed_tpu.py
-run div_fast         python scripts/bench_configs.py luma4k upsample chroma
+run configs          python scripts/bench_configs.py
 run div_lax          env LIBIQO_TPU_REAL_DIV=1 python scripts/bench_configs.py luma4k upsample chroma
 run ablate_luma      python scripts/exp_ablate_stages.py luma
 run ablate_upsample  python scripts/exp_ablate_stages.py upsample
@@ -46,7 +49,5 @@ run tiles_upsample   python scripts/tile_sweep.py upsample
 run video64_auto     python scripts/bench_video64.py
 run video64_bf1      env LIBIQO_TPU_BF=1 python scripts/bench_video64.py
 run dma_ceiling      python scripts/exp_dma_ceiling.py
-run configs          python scripts/bench_configs.py
 run configs_relaxed  python scripts/bench_configs.py --relaxed
-run bench            python bench.py
 echo "DONE — read $LOG/summary.txt, update BASELINE.md/NOTES.md, commit artifacts."

@@ -15,8 +15,11 @@ while true; do
         touch "$FLAG"
         echo "[poll $i] TPU is up — starting r4_onchip.sh"
         bash scripts/r4_onchip.sh scripts/r4_onchip_logs
-        echo "RUNBOOK DONE rc=$?"
-        break
+        rc=$?
+        echo "RUNBOOK DONE rc=$rc"
+        # nonzero = steps incomplete (tunnel died mid-run); resume polling
+        # — the runbook skips finished steps on the next attempt
+        [ "$rc" -eq 0 ] && break
     fi
     echo "[poll $i] down; sleeping 180 s"
     sleep 180

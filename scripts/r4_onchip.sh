@@ -27,12 +27,19 @@ cd "$(dirname "$0")/.."
 LOG=${1:-scripts/r4_onchip_logs}
 mkdir -p "$LOG"
 
-run() {  # run <name> <cmd...>
+run() {  # run <name> <cmd...> — resumable: a step that already succeeded
+         # (done-file present) is skipped, so a tunnel death mid-runbook
+         # doesn't burn the next uptime window repeating finished steps.
     local name=$1; shift
+    if [ -e "$LOG/$name.done" ]; then
+        echo "=== $name: already done, skipping" | tee -a "$LOG/summary.txt"
+        return 0
+    fi
     echo "=== $name: $*" | tee -a "$LOG/summary.txt"
     ( time timeout 7200 "$@" ) >"$LOG/$name.log" 2>&1
     local rc=$?
     echo "--- $name exit=$rc" | tee -a "$LOG/summary.txt"
+    [ $rc -eq 0 ] && touch "$LOG/$name.done"
     tail -n 20 "$LOG/$name.log" | sed 's/^/    /'
 }
 
@@ -50,4 +57,11 @@ run video64_auto     python scripts/bench_video64.py
 run video64_bf1      env LIBIQO_TPU_BF=1 python scripts/bench_video64.py
 run dma_ceiling      python scripts/exp_dma_ceiling.py
 run configs_relaxed  python scripts/bench_configs.py --relaxed
-echo "DONE — read $LOG/summary.txt, update BASELINE.md/NOTES.md, commit artifacts."
+
+missing=0
+for s in tpu_check bench relaxed configs div_lax ablate_luma ablate_upsample \
+         tiles_upsample video64_auto video64_bf1 dma_ceiling configs_relaxed; do
+    [ -e "$LOG/$s.done" ] || { echo "INCOMPLETE: $s"; missing=$((missing+1)); }
+done
+echo "DONE ($missing incomplete) — read $LOG/summary.txt, update BASELINE.md/NOTES.md, commit artifacts."
+exit $missing

@@ -129,6 +129,98 @@ def div_sweep():
     return rows, n_fail
 
 
+def carry_sweep(n_fuzz: int):
+    """Compiled on-chip byte gate for the row-halo carry kernel (round 4,
+    LIBIQO_TPU_CARRY): manual-DMA ring band, a different Mosaic program
+    from the windowed mode (async copies with traced offsets, 3-slot ring
+    scratch, per-tile ring-layout Y blocks).  Gates BOTH the 32-aligned
+    (=1) and tight-fetch (=2) modes on the graded configs plus fuzz; cases
+    where the carry layout doesn't engage are recorded as skips (the
+    windowed mode covers them and is gated by the main sweep)."""
+    import os
+
+    import jax
+
+    from libiqo_tpu.core.plan import build_plan
+    from libiqo_tpu.golden import numpy_ref
+    from libiqo_tpu.ops import pallas_resize
+
+    rng = np.random.default_rng(11)
+    cases = GRADED + [
+        ("lanczos", 512, 520, 256, 130, dict(degree=4)),  # clamped tail
+        ("lanczos", 7680, 4320, 1920, 1080, dict(degree=3)),
+    ] + fuzz_cases(n_fuzz, seed=20260819)
+    rows, n_fail, n_skip = [], 0, 0
+    spy_calls = []
+    orig_build = pallas_resize._build_blocks_carry
+    pallas_resize._build_blocks_carry = \
+        lambda *a, **k: (spy_calls.append(1), orig_build(*a, **k))[1]
+    old_env = os.environ.get("LIBIQO_TPU_CARRY")
+    try:
+        for mode in ("1", "2"):
+            os.environ["LIBIQO_TPU_CARRY"] = mode
+            for (alg, sw, sh, dw, dh, kw) in cases:
+                name = (f"{alg}{kw.get('degree', '')} {sw}x{sh}->{dw}x{dh}"
+                        + (" px2" if kw.get("px_scale") else "")
+                        + f" [carry{mode}]")
+                plan = build_plan(alg, sw, sh, dw, dh, **kw)
+                if not pallas_resize.supports_plan(plan):
+                    n_skip += 1
+                    continue
+                n0 = len(spy_calls)
+                try:
+                    fn, ops = pallas_resize.make_resize_fn(plan)
+                except ValueError:
+                    n_skip += 1
+                    continue
+                if len(spy_calls) == n0:      # carry didn't engage
+                    required = (alg, sw, sh, dw, dh, kw) in GRADED[2:]
+                    # the 3 hot lanczos configs MUST take the carry path
+                    if required and alg == "lanczos":
+                        rows.append({"case": name,
+                                     "status": "FAIL-not-engaged"})
+                        n_fail += 1
+                    else:
+                        n_skip += 1
+                    continue
+                dops = tuple(jax.device_put(o) for o in ops)
+                jf = jax.jit(fn)
+                src = rng.integers(0, 256, (sh, sw), np.uint8)
+                for attempt in range(2):
+                    try:
+                        got = np.asarray(jf(*dops, src))
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        if attempt == 1:
+                            raise
+                        print(f"  retrying {name} after {type(e).__name__}",
+                              flush=True)
+                        time.sleep(2)
+                want = numpy_ref.resize_u8(plan, src)
+                err = int(np.abs(got.astype(np.int32)
+                                 - want.astype(np.int32)).max())
+                # batched: the ring gains a frame dim + per-group reseed
+                srcb = rng.integers(0, 256, (4, sh, sw), np.uint8)
+                gotb = np.asarray(jf(*dops, srcb))
+                errb = max(int(np.abs(gotb[i].astype(np.int32)
+                                      - numpy_ref.resize_u8(plan, srcb[i])
+                                      .astype(np.int32)).max())
+                           for i in range(4))
+                ok = err == 0 and errb == 0
+                n_fail += not ok
+                rows.append({"case": name, "status": "ok" if ok else "FAIL",
+                             "max_lsb_err": max(err, errb)})
+                print(f"{'OK  ' if ok else 'FAIL'} {name}  "
+                      f"(err {err}, batch {errb})", flush=True)
+    finally:
+        pallas_resize._build_blocks_carry = orig_build
+        if old_env is None:
+            os.environ.pop("LIBIQO_TPU_CARRY", None)
+        else:
+            os.environ["LIBIQO_TPU_CARRY"] = old_env
+    return rows, n_fail, n_skip
+
+
 def relaxed_sweep(n_fuzz: int):
     """Compiled on-chip gate for the relaxed-precision kernel (VERDICT r3
     #5): the graded configs, a seeded fuzz set (distinct seed from the
@@ -210,7 +302,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fuzz", type=int, default=20)
     ap.add_argument("--relaxed-fuzz", type=int, default=8)
+    ap.add_argument("--carry-fuzz", type=int, default=6)
     ap.add_argument("--no-relaxed", action="store_true")
+    ap.add_argument("--no-carry", action="store_true")
     ap.add_argument("--mode", default="auto", choices=["auto", "padless"])
     args = ap.parse_args()
 
@@ -306,19 +400,28 @@ def main() -> None:
         n_fail += rf
         n_skip += rs
 
+    carry_rows = []
+    if not args.no_carry:
+        carry_rows, cf, cs = carry_sweep(args.carry_fuzz)
+        n_fail += cf
+        n_skip += cs
+
     summary = {
         "platform": platform,
         "mode": args.mode,
-        "n_cases": len(results) + len(relaxed_rows) + len(div_rows),
+        "n_cases": (len(results) + len(relaxed_rows) + len(carry_rows)
+                    + len(div_rows)),
         "n_fail": n_fail,
         "n_skip": n_skip,
         "results": results,
         "relaxed": relaxed_rows,
+        "carry": carry_rows,
         "div": div_rows,
     }
     with open("scripts/tpu_check_result.json", "w") as f:
         json.dump(summary, f, indent=1)
-    print(f"\n{len(results)} exact + {len(relaxed_rows)} relaxed cases: "
+    print(f"\n{len(results)} exact + {len(relaxed_rows)} relaxed + "
+          f"{len(carry_rows)} carry cases: "
           f"{n_fail} failures, {n_skip} skipped "
           f"-> scripts/tpu_check_result.json")
     sys.exit(1 if n_fail else 0)

@@ -858,12 +858,23 @@ def _auto_tiles_padless(plan: ResizePlan, relaxed: bool = False):
     cands = []
     mxu_r, step_r, dma_r, div_r = _tuner_rates()
     w_full = -(-x.n_dst // 128) * 128
+    import os as _os
+    _carry_env = _os.environ.get("LIBIQO_TPU_CARRY", "")
     for th in (32, 64, 96, 128, 160, 192, 224, 256):
         th_eff = min(-(-y.n_dst // 32) * 32, th)
         for tw in sorted({min(w_full, t) for t in (256, 384, 512, w_full)}):
             tw_eff = tw
             py = _tile_axis_padless(y, th_eff, 32)
             px = _tile_axis_padless(x, tw_eff, 128)
+            # carry mode fetches only ~step fresh rows per grid step; rank
+            # candidates with the DMA its builder will actually pay
+            band_h_dma = py.band
+            if (_carry_env in ("1", "2") and px.n_tiles == 1
+                    and py.n_tiles >= 3):
+                c = _carry_layout(y, py, max_band=py.band,
+                                  tight=_carry_env == "2")
+                if c is not None:
+                    band_h_dma = c.fetch
             y_aff = (th_eff * r_sh) % (r_dh * 32) == 0
             x_aff = (tw_eff * r_sw) % (r_dw * 128) == 0
             # a single tile along an axis has exactly one window => one
@@ -890,7 +901,7 @@ def _auto_tiles_padless(plan: ResizePlan, relaxed: bool = False):
                                    // (128 * r_dw)) * 128 + x_union)
             flops = 2 * (rows_pad * px.n_tiles * px.band * y_eff * n_cy
                          + rows_pad * cols_pad * x_eff * n_dx)
-            dma = n_tiles * py.band * px.band + rows_pad * cols_pad
+            dma = n_tiles * band_h_dma * px.band + rows_pad * cols_pad
             dma += (min(nvx, px.n_tiles) if x_res else n_tiles) \
                 * n_px * x_eff * tw_eff * 2
             dma += (min(nvy, py.n_tiles) if y_res else n_tiles) \

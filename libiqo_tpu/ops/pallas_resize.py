@@ -662,106 +662,45 @@ def _tile_axis_padless(ax: AxisPlan, tile: int, align: int) -> _PAxis:
 @dataclasses.dataclass(frozen=True)
 class _Carry:
     """Row-halo carry layout (opt-in, LIBIQO_TPU_CARRY=1): the Y-axis band
-    is NOT fetched as overlapping windows; instead each grid step manually
-    DMAs only ``fetch`` fresh source rows into one slot of a 3-slot VMEM
-    ring, and a tile's band is the union of its own slot and the previous
-    tile's (the halo rows ride along in VMEM instead of being re-fetched
-    from HBM).  The tuned kernels over-fetch their source 1.76-1.89x
-    (band/step at th=32..96); this removes that over-read entirely —
-    in-DMA drops ~40% on the 4K luma config.
+    windows of the tuned kernels overlap by ``band - step`` rows, so the
+    pipelined window fetch re-reads the source 1.76-1.89x (measured
+    band/step at th=32..96).  Carry mode materializes the SAME windows in
+    a double-buffered VMEM scratch itself: per grid step one manual DMA
+    brings only the ``fetch = band - halo`` fresh rows, and the halo rows
+    are copied VMEM->VMEM from the other buffer (<= a couple of 32-row
+    granules — sub-us against the HBM traffic it replaces).  Everything
+    downstream — coefficient blocks, variants, dot groups, epilogues — is
+    identical to the windowed mode, because the buffer holds exactly the
+    windowed band [off(t), off(t)+band).
 
-    Three slots because two race: the copy for step t+1 is issued during
-    step t, and with two slots its target is the slot step t's compute is
-    still reading.  Slot s = t % 3; per-tile Y coefficient blocks are
-    built against the ring layout host-side (rows of slot s live at ring
-    rows [s*fetch, (s+1)*fetch)), so the kernel's Y dot just contracts
-    over the (3*fetch)-row ring — no in-kernel shuffling, no VMEM copies.
-
-    ``f``: per-tile fetch offsets min(t*step, n_src - fetch); clamped tail
-    tiles re-fetch their clamped window (idempotent, <= 2 tiles).  Taps
-    are placed in the NEWEST slot holding their row.
+    Schedule at step t (sequential grid, "arbitrary" semantics):
+      1. wait the fetch DMA issued for t at t-1 (buffer t%2 rows
+         [halo, band) now hold source rows [off(t)+halo, off(t)+band));
+      2. halo-copy: buf[t%2][0:halo] = buf[(t-1)%2][d : d+halo] where
+         d = off(t) - off(t-1)  (32-aligned; the other buffer holds
+         [off(t-1), off(t-1)+band) ⊇ the halo since d <= step <= fetch);
+      3. issue the fetch DMA for t+1 into buf[(t+1)%2] — safe ONLY now:
+         the halo copy above was the last read of that buffer;
+      4. compute from buf[t%2][0:band].
+    t == 0 instead DMAs halo and fetch both, synchronously (and per batch
+    group, so no buffer ever leaks a previous group's rows).
     """
-    fetch: int               # rows per manual DMA
-    stride: int              # ring slot stride >= fetch (32-aligned so the
-    #                          VMEM DMA destination lands on a u8 tile row)
-    f: np.ndarray            # (n_tiles,) fetch offsets
-    n_src_pad: int
+    halo: int                # VMEM-carried rows, 32-multiple >= 32
+    fetch: int               # rows per manual DMA ( == band - halo )
 
 
-def _carry_layout(ax: AxisPlan, p: _PAxis, max_band: int,
-                  tight: bool = False):
-    """Feasibility + sizing for the carry mode on the row axis.  Returns
-    None when the schedule can't cover some tile (then the standard
-    overlapped-window mode is used), or when it wouldn't save DMA.
-
-    ``tight`` (LIBIQO_TPU_CARRY=2): fetch exactly the tap reach, 8-row
-    granule.  The tail-clamped source offsets then lose 32-alignment —
-    legal for a manual DMA whose source is linear HBM (the 32-granule rule
-    is a Mosaic pipeline-window constraint), but kept opt-in until the
-    on-chip A/B confirms.  Default mode keeps every source offset
-    32-aligned (fetch == n_src_pad mod 32, so the tail clamp stays
-    aligned)."""
-    n_src_pad = ax.n_src + p.pad
-    T, step, tile = p.n_tiles, p.step, p.tile
-    start = ax.start.astype(np.int64)
-    lo_d = np.clip(start, 0, n_src_pad)
-    hi_d = np.clip(start + ax.num_coefs, 0, n_src_pad)
-    lo = np.empty(T, np.int64)
-    hi = np.empty(T, np.int64)
-    for t in range(T):
-        d0, d1 = t * tile, min((t + 1) * tile, ax.n_dst)
-        lo[t] = lo_d[d0:d1].min()
-        hi[t] = max(hi_d[d0:d1].max(), lo[t])
-    ts = step * np.arange(T)
-    if tight:
-        fetch = -(-max(step, int((hi - ts).max())) // 8) * 8
-        gran = 8
-    else:
-        r = n_src_pad % 32
-        fetch = max(step, 32)
-        fetch = -(-max(fetch - r, 0) // 32) * 32 + r   # >= step, == r (32)
-        gran = 32
-    while fetch <= max_band:
-        if fetch <= n_src_pad:
-            f = np.minimum(ts, n_src_pad - fetch)
-            f_prev = np.concatenate([f[:1], f[:-1]])
-            if (lo >= f_prev).all() and (hi <= f + fetch).all():
-                if T * fetch >= 0.9 * T * p.band:    # no real DMA saving
-                    return None
-                return _Carry(int(fetch), -(-int(fetch) // 32) * 32,
-                              f, n_src_pad)
-        fetch += gran
-    return None
-
-
-def _build_blocks_carry(ax: AxisPlan, p: _PAxis, c: _Carry) -> np.ndarray:
-    """Per-tile dense Y coefficient blocks in ring coordinates: tap at
-    source row r of tile t lands at ring row (s*fetch + r - f[s-tile]) for
-    the newest slot s whose fetch window holds r.  Same zero-clip contract
-    as _build_blocks_padless."""
-    T, tile, fetch = p.n_tiles, p.tile, c.fetch
-    blocks = np.zeros((T, tile, 3 * c.stride), np.int32)
-    d_all = np.arange(ax.n_dst)
-    t_idx = d_all // tile
-    f_cur = c.f[t_idx]
-    f_prev = c.f[np.maximum(t_idx - 1, 0)]
-    k_idx = d_all % tile
-    start = ax.start.astype(np.int64)
-    for i in range(ax.num_coefs):
-        cf = ax.coef[:, i].astype(np.int32)
-        sel = cf != 0
-        r = start + i
-        in_cur = (r >= f_cur) & (r < f_cur + fetch)
-        in_prev = (t_idx > 0) & (r >= f_prev) & (r < f_prev + fetch)
-        if not (in_cur | in_prev)[sel].all():
-            bad = int(np.nonzero(sel & ~(in_cur | in_prev))[0][0])
-            raise AssertionError(
-                f"carry ring misses tap: tile {t_idx[bad]} d {bad} "
-                f"r {r[bad]} f_cur {f_cur[bad]} f_prev {f_prev[bad]}")
-        slot = np.where(in_cur, t_idx % 3, (t_idx - 1) % 3)
-        j = slot * c.stride + np.where(in_cur, r - f_cur, r - f_prev)
-        np.add.at(blocks, (t_idx[sel], k_idx[sel], j[sel]), cf[sel])
-    return blocks
+def _carry_layout(p: _PAxis):
+    """Carry feasibility/sizing for the row axis: the largest 32-multiple
+    halo that keeps fetch >= step (so the buffer advance never exceeds
+    one fetch).  None when there is no 32-row halo to save (then the
+    windowed mode is used)."""
+    halo = (p.band - p.step) // 32 * 32
+    if halo < 32:
+        return None
+    fetch = p.band - halo
+    if fetch >= 0.9 * p.band:        # no real DMA saving
+        return None
+    return _Carry(halo, fetch)
 
 
 def _build_blocks_padless(ax: AxisPlan, p: _PAxis, transpose: bool) -> np.ndarray:
@@ -871,8 +810,7 @@ def _auto_tiles_padless(plan: ResizePlan, relaxed: bool = False):
             band_h_dma = py.band
             if (_carry_env in ("1", "2") and px.n_tiles == 1
                     and py.n_tiles >= 3):
-                c = _carry_layout(y, py, max_band=py.band,
-                                  tight=_carry_env == "2")
+                c = _carry_layout(py)
                 if c is not None:
                     band_h_dma = c.fetch
             y_aff = (th_eff * r_sh) % (r_dh * 32) == 0
@@ -980,23 +918,16 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     # tile row grids only (every tuned hot config); sharded builds keep
     # the windowed mode (their per-device band substitution assumes it).
     carry = None
-    _carry_env = _os.environ.get("LIBIQO_TPU_CARRY", "")
-    if (_carry_env in ("1", "2")
+    if (_os.environ.get("LIBIQO_TPU_CARRY", "") in ("1", "2")
             and n_tx == 1 and n_ty >= 3 and not force_streamed_y
             and grid_order == "xy"):
-        carry = _carry_layout(y, py, max_band=band_h,
-                              tight=_carry_env == "2")
+        carry = _carry_layout(py)
 
-    if carry is not None:
-        blocks_y = _build_blocks_carry(y, py, carry)
-        vy = _Variants(blocks_y, 0, ())
-        y_res = False            # per-tile ring-layout blocks, streamed
-    else:
-        blocks_y = _build_blocks_padless(y, py, transpose=False)
-        vy = _dedup_blocks(blocks_y)
-        y_res = (not force_streamed_y
-                 and len(vy.uniq) <= _MAX_RESIDENT_VARS
-                 and len(vy.exceptions) <= _MAX_EXCEPTIONS)
+    blocks_y = _build_blocks_padless(y, py, transpose=False)
+    vy = _dedup_blocks(blocks_y)
+    y_res = (not force_streamed_y
+             and len(vy.uniq) <= _MAX_RESIDENT_VARS
+             and len(vy.exceptions) <= _MAX_EXCEPTIONS)
     blocks_x = _build_blocks_padless(x, px, transpose=True)
     vx = _dedup_blocks(blocks_x)
     x_res = (len(vx.uniq) <= _MAX_RESIDENT_VARS
@@ -1040,11 +971,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     # grid): LIBIQO_TPU_BF=1 disables stacking, =2/4 forces that factor
     # when the batch divides by it.  Outputs stay byte-exact either way.
     _bf_force = int(_os.environ.get("LIBIQO_TPU_BF", "0") or 0)
-    if force_streamed_y or _no_ygroup or carry is not None:
-        # carry: ring-layout taps straddle slot boundaries tile-dependently
-        # (k windows computed from the variant union would cover the whole
-        # ring); the monolithic dot contracts 3*fetch rows — on the cheap
-        # Y stage, measured-acceptable vs the DMA saved
+    if force_streamed_y or _no_ygroup:
         y_groups = None
     elif s8_y:
         y_groups = _pick_groups(
@@ -1222,11 +1149,10 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     n_cx_ops = len(cx_ops)
 
     # VMEM feasibility from the ACTUAL operand shapes: resident blocks sit
-    # whole in scratch; streamed ones are double-buffered per-tile slices
-    # (carry: the band window is replaced by the 3-slot ring, single copy)
-    band_bytes = (3 * carry.stride * band_w if carry is not None
-                  else 2 * band_h * band_w)
-    est = (band_bytes                   # u8 band window / carry ring
+    # whole in scratch; streamed ones are double-buffered per-tile slices.
+    # (Carry mode's two manual band buffers cost the same bytes as the
+    # windowed mode's double-buffered band window.)
+    est = (2 * band_h * band_w          # u8 band, double buffered
            + 2 * th * tw                # u8 out, double buffered
            + 4 * th * band_w * 3        # i32 work + bf16 byte splits
            + 4 * th * tw * 4)           # f32 dot temps
@@ -1237,9 +1163,9 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     if est > _VMEM_TILE_BUDGET:
         return None
     # batch-stacking headroom: each extra frame per grid step costs one
-    # more band block (ring slab for carry) + out block (compute temps are
+    # more double-buffered band block + out block (compute temps are
     # reused across the sequential per-frame loop)
-    _bf_frame = band_bytes + 2 * th * tw
+    _bf_frame = 2 * band_h * band_w + 2 * th * tw
     bf_cap = min(4, 1 + (_VMEM_TILE_BUDGET - est) // _bf_frame)
 
     wrap16 = plan.wrap16
@@ -1366,48 +1292,67 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                         cp.wait()
 
             if carry is not None:
-                # manual band pipeline: step t waits the copy issued for
-                # its slot at t-1, then issues t+1's copy into the third
-                # slot (never one that t's compute reads), then computes.
-                # t == 0 seeds its own slot synchronously (once per batch
-                # group, so no slot ever carries a previous group's rows).
-                ring = scratch[n_sc + (1 if n_sc else 0)]
+                # manual band double-buffer (see _Carry): wait this step's
+                # fresh-row DMA, VMEM-copy the halo from the other buffer,
+                # only THEN issue the next step's DMA into that buffer,
+                # compute from buf[t%2] — which holds exactly the windowed
+                # band [off(t), off(t)+band).
+                bb = scratch[n_sc + (1 if n_sc else 0)]    # (2, bf, bh, bw)
                 dsem = scratch[n_sc + (1 if n_sc else 0) + 1]
                 t_r = pl.program_id(g_y)
                 bg = pl.program_id(0)
-                fclamp = carry.n_src_pad - carry.fetch
+                halo, fetch = carry.halo, carry.fetch
 
-                def mk(toff, s):
+                def off_of(tt):
+                    o = py.base + tt * py.step
+                    if py.clamp_hi >= 0:
+                        o = jnp.minimum(py.clamp_hi, o)
+                    return jnp.maximum(0, o)
+
+                def mk_fetch(tt, p):
+                    # fresh rows [off(tt)+halo, off(tt)+band) -> buffer p
                     return pltpu.make_async_copy(
                         band_ref.at[pl.ds(bg * bf, bf),
-                                    pl.ds(toff, carry.fetch), :],
-                        ring.at[:, pl.ds(s * carry.stride, carry.fetch), :],
-                        dsem.at[s])
-
-                def f_of(tt):
-                    return jnp.minimum(tt * py.step, fclamp)
+                                    pl.ds(off_of(tt) + halo, fetch), :],
+                        bb.at[p, :, pl.ds(halo, fetch), :],
+                        dsem.at[p])
 
                 @pl.when(t_r == 0)
                 def _():
-                    cp = mk(0, 0)
+                    seed = pltpu.make_async_copy(
+                        band_ref.at[pl.ds(bg * bf, bf),
+                                    pl.ds(off_of(0), halo), :],
+                        bb.at[0, :, pl.ds(0, halo), :], dsem.at[0])
+                    seed.start()
+                    seed.wait()
+                    cp = mk_fetch(0, 0)
                     cp.start()
                     cp.wait()
 
-                for s in range(3):
-                    @pl.when((t_r > 0) & (t_r % 3 == s))
-                    def _(s=s):
-                        mk(f_of(t_r), s).wait()
+                for p in range(2):
+                    @pl.when((t_r > 0) & (t_r % 2 == p))
+                    def _(p=p):
+                        mk_fetch(t_r, p).wait()
+                        # halo rows [off(t), off(t)+halo) live in the other
+                        # buffer at offset d = off(t) - off(t-1) (<= step
+                        # <= fetch, 32-aligned by window construction)
+                        d = pl.multiple_of(
+                            off_of(t_r) - off_of(t_r - 1), 32)
+                        bb[p, :, 0:halo, :] = bb[1 - p, :,
+                                                 pl.ds(d, halo), :]
 
-                for s in range(3):
-                    @pl.when((t_r + 1 < n_ty) & ((t_r + 1) % 3 == s))
-                    def _(s=s):
-                        mk(f_of(t_r + 1), s).start()
+                for p in range(2):
+                    @pl.when((t_r + 1 < n_ty) & ((t_r + 1) % 2 == p))
+                    def _(p=p):
+                        mk_fetch(t_r + 1, p).start()
 
-                class _RingView:   # _frame reads band values per frame
+                t_par = t_r % 2
+
+                class _BufView:    # _frame reads band values per frame
                     def __getitem__(self, fi):
-                        return ring[fi]
+                        return bb[t_par, fi]
 
-                band_view = _RingView()
+                band_view = _BufView()
             else:
                 band_view = band_ref
 
@@ -1752,9 +1697,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                 shapes += [pltpu.VMEM(o.shape, o.dtype) for o in cx_ops]
             shapes.append(pltpu.SemaphoreType.DMA((n_sc,)))
         if carry is not None:
-            shapes.append(pltpu.VMEM((bf, 3 * carry.stride, band_w),
-                                     jnp.uint8))
-            shapes.append(pltpu.SemaphoreType.DMA((3,)))
+            shapes.append(pltpu.VMEM((2, bf, band_h, band_w), jnp.uint8))
+            shapes.append(pltpu.SemaphoreType.DMA((2,)))
         if y_cond:
             # work staging for the conditional Y-border epilogue (always
             # last — the kernel reads it as scratch[-1])
@@ -1804,6 +1748,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     fn.n_cy, fn.n_cx = n_cy, n_cx_ops
     fn.tiles = (th, tw)
     fn.py, fn.px = py, px
+    fn.carry = carry
     return fn, operands
 
 

@@ -54,7 +54,7 @@ run ablate_luma      python scripts/exp_ablate_stages.py luma
 run ablate_upsample  python scripts/exp_ablate_stages.py upsample
 run tiles_upsample   python scripts/tile_sweep.py upsample
 run carry1           env LIBIQO_TPU_CARRY=1 python scripts/bench_configs.py luma4k chroma upsample
-run carry2           env LIBIQO_TPU_CARRY=2 python scripts/bench_configs.py luma4k chroma upsample
+run video64_carry    env LIBIQO_TPU_CARRY=1 python scripts/bench_video64.py
 run video64_auto     python scripts/bench_video64.py
 run video64_bf1      env LIBIQO_TPU_BF=1 python scripts/bench_video64.py
 run dma_ceiling      python scripts/exp_dma_ceiling.py
@@ -62,8 +62,8 @@ run configs_relaxed  python scripts/bench_configs.py --relaxed
 
 missing=0
 for s in tpu_check bench relaxed configs div_lax ablate_luma ablate_upsample \
-         tiles_upsample carry1 carry2 video64_auto video64_bf1 dma_ceiling \
-         configs_relaxed; do
+         tiles_upsample carry1 video64_carry video64_auto video64_bf1 \
+         dma_ceiling configs_relaxed; do
     [ -e "$LOG/$s.done" ] || { echo "INCOMPLETE: $s"; missing=$((missing+1)); }
 done
 echo "DONE ($missing incomplete) — read $LOG/summary.txt, update BASELINE.md/NOTES.md, commit artifacts."

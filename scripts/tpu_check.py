@@ -131,12 +131,12 @@ def div_sweep():
 
 def carry_sweep(n_fuzz: int):
     """Compiled on-chip byte gate for the row-halo carry kernel (round 4,
-    LIBIQO_TPU_CARRY): manual-DMA ring band, a different Mosaic program
-    from the windowed mode (async copies with traced offsets, 3-slot ring
-    scratch, per-tile ring-layout Y blocks).  Gates BOTH the 32-aligned
-    (=1) and tight-fetch (=2) modes on the graded configs plus fuzz; cases
-    where the carry layout doesn't engage are recorded as skips (the
-    windowed mode covers them and is gated by the main sweep)."""
+    LIBIQO_TPU_CARRY): manually double-buffered band with fresh-row DMAs
+    and VMEM halo copies — a different Mosaic program from the windowed
+    mode (async copies with traced offsets, dynamic-offset sublane
+    slices).  Graded configs plus fuzz; cases where the carry layout
+    doesn't engage are recorded as skips (the windowed mode covers them
+    and is gated by the main sweep)."""
     import os
 
     import jax
@@ -151,13 +151,9 @@ def carry_sweep(n_fuzz: int):
         ("lanczos", 7680, 4320, 1920, 1080, dict(degree=3)),
     ] + fuzz_cases(n_fuzz, seed=20260819)
     rows, n_fail, n_skip = [], 0, 0
-    spy_calls = []
-    orig_build = pallas_resize._build_blocks_carry
-    pallas_resize._build_blocks_carry = \
-        lambda *a, **k: (spy_calls.append(1), orig_build(*a, **k))[1]
     old_env = os.environ.get("LIBIQO_TPU_CARRY")
     try:
-        for mode in ("1", "2"):
+        for mode in ("1",):
             os.environ["LIBIQO_TPU_CARRY"] = mode
             for (alg, sw, sh, dw, dh, kw) in cases:
                 name = (f"{alg}{kw.get('degree', '')} {sw}x{sh}->{dw}x{dh}"
@@ -167,13 +163,12 @@ def carry_sweep(n_fuzz: int):
                 if not pallas_resize.supports_plan(plan):
                     n_skip += 1
                     continue
-                n0 = len(spy_calls)
                 try:
                     fn, ops = pallas_resize.make_resize_fn(plan)
                 except ValueError:
                     n_skip += 1
                     continue
-                if len(spy_calls) == n0:      # carry didn't engage
+                if getattr(fn, "carry", None) is None:   # didn't engage
                     required = (alg, sw, sh, dw, dh, kw) in GRADED[2:]
                     # the 3 hot lanczos configs MUST take the carry path
                     if required and alg == "lanczos":
@@ -213,7 +208,6 @@ def carry_sweep(n_fuzz: int):
                 print(f"{'OK  ' if ok else 'FAIL'} {name}  "
                       f"(err {err}, batch {errb})", flush=True)
     finally:
-        pallas_resize._build_blocks_carry = orig_build
         if old_env is None:
             os.environ.pop("LIBIQO_TPU_CARRY", None)
         else:

@@ -1304,16 +1304,21 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                 halo, fetch = carry.halo, carry.fetch
 
                 def off_of(tt):
+                    # base/step/clamp_hi are all 32-multiples; the hint is
+                    # re-asserted after the clamp ops because Mosaic must
+                    # prove HBM slice offsets divisible by the sublane
+                    # tiling and jnp.minimum/maximum launder the property
                     o = py.base + tt * py.step
                     if py.clamp_hi >= 0:
                         o = jnp.minimum(py.clamp_hi, o)
-                    return jnp.maximum(0, o)
+                    return pl.multiple_of(jnp.maximum(0, o), 32)
 
                 def mk_fetch(tt, p):
                     # fresh rows [off(tt)+halo, off(tt)+band) -> buffer p
                     return pltpu.make_async_copy(
                         band_ref.at[pl.ds(bg * bf, bf),
-                                    pl.ds(off_of(tt) + halo, fetch), :],
+                                    pl.ds(pl.multiple_of(
+                                        off_of(tt) + halo, 32), fetch), :],
                         bb.at[p, :, pl.ds(halo, fetch), :],
                         dsem.at[p])
 
@@ -1651,18 +1656,24 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                             lambda *g, _d=idx_dim: (g[_d], 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def band_map3(*g):
-        oy, ox = band_map(*g)
-        return (g[0], oy, ox)
+    def make_band_map3(bf):
+        def band_map3(*g):
+            oy, ox = band_map(*g)
+            return (g[0] * bf, oy, ox)
+        return band_map3
 
     def make_specs(bf):
-        # the leading (frame) dim of the band/out blocks is BLOCKED with
-        # size bf (grid dim 0 indexes frame groups); the trailing band
-        # dims stay Element windows.  Carry mode takes the raw source in
-        # HBM (ANY) and fetches rows itself (see the kernel prologue).
+        # Mosaic refuses blocks that MIX Blocked and Element dims ("All
+        # block dimensions must be Elements or none of them can be
+        # Elements" — interpret mode does not enforce this, so it only
+        # fires on real silicon).  The band block therefore makes the
+        # leading (frame) dim an Element window too: size bf, element
+        # offset g[0]*bf (identical window to a Blocked dim of size bf).
+        # Carry mode takes the raw source in HBM (ANY) and fetches rows
+        # itself (see the kernel prologue).
         return [
             (pl.BlockSpec(memory_space=pl.ANY) if carry is not None else
-             pl.BlockSpec((bf, E(band_h), E(band_w)), band_map3,
+             pl.BlockSpec((E(bf), E(band_h), E(band_w)), make_band_map3(bf),
                           memory_space=pltpu.VMEM)),
             *[_coef_spec(y_res, cy_ops, i, g_y) for i in range(n_cy)],
             *[_coef_spec(x_res, cx_ops, i, g_x) for i in range(n_cx_ops)],

@@ -689,11 +689,19 @@ class _Carry:
     fetch: int               # rows per manual DMA ( == band - halo )
 
 
-def _carry_layout(p: _PAxis):
+def _carry_layout(p: _PAxis, lane_w: int):
     """Carry feasibility/sizing for the row axis: the largest 32-multiple
     halo that keeps fetch >= step (so the buffer advance never exceeds
     one fetch).  None when there is no 32-row halo to save (then the
-    windowed mode is used)."""
+    windowed mode is used).
+
+    ``lane_w`` is the band buffer's lane (last) dim: the current Mosaic
+    requires every sublane-sliced VMEM memref to have a 128-multiple lane
+    dim (``Slice shape along dimension 2 must be aligned to tiling
+    (128)``), so carry refuses odd-width sources and the windowed mode —
+    whose full-block windows don't slice — covers them."""
+    if lane_w % 128 != 0:
+        return None
     halo = (p.band - p.step) // 32 * 32
     if halo < 32:
         return None
@@ -810,7 +818,7 @@ def _auto_tiles_padless(plan: ResizePlan, relaxed: bool = False):
             band_h_dma = py.band
             if (_carry_env in ("1", "2") and px.n_tiles == 1
                     and py.n_tiles >= 3):
-                c = _carry_layout(py)
+                c = _carry_layout(py, px.band)
                 if c is not None:
                     band_h_dma = c.fetch
             y_aff = (th_eff * r_sh) % (r_dh * 32) == 0
@@ -921,7 +929,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     if (_os.environ.get("LIBIQO_TPU_CARRY", "") in ("1", "2")
             and n_tx == 1 and n_ty >= 3 and not force_streamed_y
             and grid_order == "xy"):
-        carry = _carry_layout(py)
+        carry = _carry_layout(py, band_w)
 
     blocks_y = _build_blocks_padless(y, py, transpose=False)
     vy = _dedup_blocks(blocks_y)
@@ -1389,10 +1397,21 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         else:
             band_bf = band_ref[fi].astype(jnp.int32).astype(dot_dt)
 
+        def _fill_tile(v):
+            # measurement-only: spread a (possibly smaller) value tile over
+            # (th, tw) so the band DMA cannot be elided.  Tiling by concat
+            # instead of broadcast_to: Mosaic has no 2-D scalar broadcast
+            # ("Not implemented: Broadcast in both sublanes and lanes").
+            rr = -(-th // v.shape[0])
+            if rr > 1:
+                v = jnp.concatenate([v] * rr, axis=0)
+            rc = -(-tw // v.shape[1])
+            if rc > 1:
+                v = jnp.concatenate([v] * rc, axis=1)
+            return v[:th, :tw]
+
         if _ablate == "dma":    # band DMA + load only
-            out_ref[fi] = (band_ref[fi][:th, :tw]
-                           if band_h >= th and band_w >= tw else
-                           jnp.broadcast_to(band_ref[fi][:1, :1], (th, tw)))
+            out_ref[fi] = _fill_tile(band_ref[fi])
             return
 
         # ---- Y pass: work = sum_p Cy_p @ band ---------------------------
@@ -1471,9 +1490,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             w = nume
 
         if _ablate == "y":      # Y pass done, X pass cut
-            ww = (w[:, :tw] if band_w >= tw
-                  else jnp.broadcast_to(w[:, :1], (th, tw)))
-            out_ref[fi] = (ww & 255).astype(jnp.uint8)
+            out_ref[fi] = (_fill_tile(w) & 255).astype(jnp.uint8)
             return
 
         # ---- X pass ------------------------------------------------------
@@ -1498,9 +1515,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             b = (w & 255) - 128
             a8, b8 = a.astype(jnp.int8), b.astype(jnp.int8)
             if _ablate == "split":   # Y + s8 work split, X dots cut
-                ab = (a8[:, :tw] ^ b8[:, :tw] if band_w >= tw
-                      else jnp.broadcast_to(a8[:, :1] ^ b8[:, :1], (th, tw)))
-                out_ref[fi] = ab.astype(jnp.uint8)
+                out_ref[fi] = _fill_tile(a8 ^ b8).astype(jnp.uint8)
                 return
             parts = []
             for gi, (_o0, _ol, k0, kl) in enumerate(xg):

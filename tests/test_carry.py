@@ -92,7 +92,17 @@ def test_carry_layout_refuses_no_saving():
     None and stay on the windowed mode."""
     plan = build_plan("area", 1920, 1080, 480, 270)
     py = pr._tile_axis_padless(plan.y, 96, 32)
-    assert pr._carry_layout(py) is None
+    assert pr._carry_layout(py, 1920) is None
+
+
+def test_carry_layout_refuses_odd_lane_width():
+    """Non-128-multiple band lane dims must refuse carry: the current
+    Mosaic rejects sublane slices of VMEM memrefs whose lane dim is not
+    128-aligned (seen on chip: area 618x699->97x503)."""
+    plan = build_plan("lanczos", 1280, 720, 640, 360, degree=3)
+    py = pr._tile_axis_padless(plan.y, 32, 32)
+    assert pr._carry_layout(py, 1280) is not None
+    assert pr._carry_layout(py, 618) is None
 
 
 def test_carry_off_by_default():

@@ -1686,10 +1686,16 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         # offset g[0]*bf (identical window to a Blocked dim of size bf).
         # Carry mode takes the raw source in HBM (ANY) and fetches rows
         # itself (see the kernel prologue).
+        # Measurement knob (scripts/exp_overlap.py): explicitly request
+        # double- (2) or single- (1) buffered pipelining for the band
+        # window; unset = Mosaic's default for element windows.
+        _band_buf = _os.environ.get("LIBIQO_TPU_BAND_BUF", "")
+        _band_mode = pl.Buffered(int(_band_buf)) if _band_buf else None
         return [
             (pl.BlockSpec(memory_space=pl.ANY) if carry is not None else
              pl.BlockSpec((E(bf), E(band_h), E(band_w)), make_band_map3(bf),
-                          memory_space=pltpu.VMEM)),
+                          memory_space=pltpu.VMEM,
+                          pipeline_mode=_band_mode)),
             *[_coef_spec(y_res, cy_ops, i, g_y) for i in range(n_cy)],
             *[_coef_spec(x_res, cx_ops, i, g_x) for i in range(n_cx_ops)],
             pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0),

@@ -989,9 +989,15 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         y_groups = _pick_groups(
             cy_src, out_is_m=True, other_dim=-(-band_w // 128),
             grp_choices=(32, 64, 96), k_align=8)
+    # X K-window alignment: 32 is the finest offset Mosaic lowers for
+    # lane slices of the i8 work planes (verified exact on chip); finer
+    # alignment stops band-straddle windows from paying a second 128-K
+    # MXU chunk (upsample grp=128 windows: 23 -> 15 chunks at 32).
+    # LIBIQO_TPU_KALIGN overrides for A/B measurement.
+    _x_kalign = int(_os.environ.get("LIBIQO_TPU_KALIGN", "0") or 0) or 32
     x_groups = _pick_groups(
         cx_src, out_is_m=False, other_dim=th,
-        grp_choices=(128, 256), k_align=64)
+        grp_choices=(128, 256), k_align=_x_kalign)
 
     cy_ops = [np.asarray(p) for p in cy_planes]
     # X operands are pre-sliced to their group windows (plane-major, then
@@ -1135,6 +1141,12 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             if e.min() < -128 or e.max() > 127:   # guaranteed by the gate
                 raise ValueError("s8 coef hi plane out of range")
             return (e.astype(np.int8), f.astype(np.int8))
+        # An N-packed variant ([e | f] concatenated along the output dim,
+        # halving the dot invocations at N=2*ol) was built and A/B'd on
+        # chip (xpack_kalign_2x2.log): no payoff — noise-level at
+        # k_align=32 (luma 0.0382 vs 0.0379) and WORSE at 64 (0.0404 vs
+        # 0.0385).  Mosaic evidently pipelines the four small dots as
+        # well as two wide ones; the 4-dot form stays.
         slab_planes = [s8_split(s) for s in slabs]
         cx_scale = None
     elif x_kara:

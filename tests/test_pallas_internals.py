@@ -150,3 +150,18 @@ def test_pick_groups_declines_when_band_is_tight():
     nz = np.ones((128, 512), bool)
     assert pr._pick_groups(nz[None] * 1, out_is_m=False, other_dim=32,
                            grp_choices=(128, 256), k_align=64) is None
+
+
+def test_kalign32_stops_upsample_window_straddles():
+    """The measured −13% on the upsample config (xpack_kalign_2x2.log)
+    comes from k_align=32 letting every 4-tap group window fit one 128-K
+    MXU chunk: at 64-alignment the same windows straddle two.  Pin the
+    structural fact so a k_align regression is caught on CPU."""
+    plan = build_plan("lanczos", 1280, 720, 1920, 1080, degree=2)
+    px = pr._tile_axis_padless(plan.x, 1920, 128)
+    blocks = pr._build_blocks_padless(plan.x, px, transpose=True)
+    nz = (blocks != 0).any(axis=0)
+    chunks = {ka: sum(-(-kl // 128) for (_o0, _ol, _k0, kl)
+                      in pr._dot_groups(nz, 128, ka)) for ka in (32, 64)}
+    assert chunks[32] == 15          # one chunk per group
+    assert chunks[64] > chunks[32]   # 64-alignment pays straddles (23)

@@ -1252,7 +1252,13 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
     # divide runs on static lane slices instead of the full tile (the
     # tile-conditional x_cond trick degenerates when n_tx == 1).
     bx_cols = np.nonzero(border_x[0])[0]
-    x_slab = (x_has_border and not x_cond and n_tx == 1 and tw >= 384
+    # LIBIQO_TPU_XSLAB=0 disables the slab mode for A/B: the slab's
+    # 3-segment lane concat materializes an extra full i32 tile, which
+    # predates the strength-reduced divide — the full-tile where+divide
+    # may now be cheaper.
+    _x_slab_env = _os.environ.get("LIBIQO_TPU_XSLAB", "") != "0"
+    x_slab = (_x_slab_env
+              and x_has_border and not x_cond and n_tx == 1 and tw >= 384
               and not ((bx_cols >= 128) & (bx_cols < tw - 128)).any())
     x_slab_lo = bool((bx_cols < 128).any())
     x_slab_hi = bool((bx_cols >= tw - 128).any())

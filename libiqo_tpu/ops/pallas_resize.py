@@ -1535,8 +1535,8 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             if _ablate == "split":   # Y + s8 work split, X dots cut
                 out_ref[fi] = _fill_tile(a8 ^ b8).astype(jnp.uint8)
                 return
-            parts = []
-            for gi, (_o0, _ol, k0, kl) in enumerate(xg):
+
+            def _s8_group(gi, k0, kl):
                 ce = cx_vals[0 * n_xg + gi]
                 cf = cx_vals[1 * n_xg + gi]
                 ae = jnp.dot(a8[:, k0:k0 + kl], ce,
@@ -1547,7 +1547,17 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                              preferred_element_type=jnp.int32)
                 bf_ = jnp.dot(b8[:, k0:k0 + kl], cf,
                               preferred_element_type=jnp.int32)
-                parts.append(ae * 65536 + (af + be) * 256 + bf_)
+                return ae * 65536 + (af + be) * 256 + bf_
+
+            # A per-group epilogue with direct out_ref slice writes
+            # (eliding the parts concat + the slab segment concat) was
+            # built and A/B'd on chip (xpart_ab.log): chroma +23%,
+            # upsample +15%, luma noise — running the epilogue on small
+            # (th, 128) parts defeats the VPU's full-tile vectorization,
+            # and the concats it saved are evidently near-free.  The
+            # concat-then-one-epilogue form stays.
+            parts = [_s8_group(gi, k0, kl)
+                     for gi, (_o0, _ol, k0, kl) in enumerate(xg)]
             sums = (jnp.concatenate(parts, axis=1) if len(parts) > 1
                     else parts[0])
             sums = sums + cxc_ref[...]

@@ -136,11 +136,19 @@ class Resizer:
 
     ``precision``: ``"exact"`` (default) is byte-identical to the
     reference Generic implementation; ``"relaxed"`` opts into the
-    ~2x-faster relaxed-precision pallas kernel (measured max error ~2 LSB
-    — the TPU analog of the reference's own SIMD float paths, which also
-    diverge from their Generic: up to ~13 LSB, SURVEY §3.3).  Non-pallas
-    backends always compute exactly; relaxed plans the kernel refuses
-    (overflow guard) silently use the exact path.
+    relaxed-precision pallas kernel (measured max error <= 2 LSB, flat
+    fields exact — the TPU analog of the reference's own SIMD float
+    paths, which diverge from their Generic by up to ~13 LSB, SURVEY
+    §3.3).  Measured frame-level gain (on-chip, BASELINE.md): ~3x on
+    linear, 1.05-1.2x on the lanczos/area configs — relaxed halves only
+    the X-dot stage, and the heavy configs are bound by Y pass + integer
+    epilogue, which relaxation cannot shrink: every graded config's Y
+    pass is already a SINGLE MXU dot (s8 taps; bf16 would be the same
+    count at a slower rate), and the remaining Y/epilogue cost is the
+    integer-semantics VPU ops themselves (see NOTES.md "relaxed-Y
+    ceiling").  Non-pallas backends always compute exactly; relaxed
+    plans the kernel refuses (overflow guard) silently use the exact
+    path.
     """
 
     def __init__(self, plan: ResizePlan, backend: str = "auto",

@@ -51,8 +51,10 @@ the removed legacy padded mode's runtime on bandwidth-limited chips).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -72,27 +74,6 @@ _VMEM_TILE_BUDGET = 10 << 20    # rough per-tile VMEM budget (bytes)
 def _reduced(ax: AxisPlan):
     g = math.gcd(ax.n_src, ax.n_dst)
     return ax.n_src // g, ax.n_dst // g
-
-
-@dataclasses.dataclass(frozen=True)
-class _Axis:
-    """Tiling of one axis: output tile, affine band window, slack.
-
-    ``halo``: when > 0, the band decomposes as [main: step][halo] with
-    halo | step, so both pieces are pure Blocked windows (offset =
-    block-index * block-shape).  Blocked windows take Mosaic's native
-    pipelining; Element windows fall back to the slower XLA pipeline
-    emitter (measured ~4x per-step overhead), so we only use Element when
-    no divisor-aligned halo exists.
-    """
-    tile: int            # output elements per tile
-    n_tiles: int
-    step: int            # band window offset step per tile (aligned)
-    band: int            # band window length (aligned)
-    pad_lo: int
-    pad_hi: int
-    n_pad: int           # padded source length
-    halo: int = 0        # 0 = Element mode for this axis
 
 
 def _exact_trunc_div(n, d_small, shape):
@@ -146,49 +127,6 @@ def _exact_trunc_div(n, d_small, shape):
     q = (q - jnp.where((n >= 0) & (r < 0), sgn_d, 0)
          + jnp.where((n < 0) & (r > 0), sgn_d, 0))
     return jnp.where(absd == 1, n * sgn_d, q)
-
-
-def _tile_axis(ax: AxisPlan, tile: int, align: int):
-    """Pick the affine band window ``base + t*step`` covering every tile's
-    true source range [min start, max start + taps), with any drift between
-    the affine step and the true windows folded into the band length.
-    Offsets and lengths are ``align``-multiples (Mosaic's divisibility
-    prover needs it).  Returns (_Axis, base) with base in padded coords."""
-    n_tiles = -(-ax.n_dst // tile)
-    start = ax.start.astype(np.int64)
-    lo = np.empty(n_tiles, np.int64)
-    hi = np.empty(n_tiles, np.int64)
-    for t in range(n_tiles):
-        d0, d1 = t * tile, min((t + 1) * tile, ax.n_dst)
-        lo[t] = start[d0:d1].min()
-        hi[t] = start[d0:d1].max() + ax.num_coefs
-    # affine step ~ tile * src/dst, rounded down to alignment
-    step = max(align, (tile * ax.n_src // ax.n_dst) // align * align)
-    base = int((lo - step * np.arange(n_tiles)).min())
-    base = base // align * align                  # align down, extend band
-    # fold base into the padding so window t starts exactly at t*step —
-    # then main+halo decompose into pure Blocked windows
-    pad_lo = -(-max(0, -base) // align) * align
-    band = int((hi + pad_lo - step * np.arange(n_tiles)).max())
-    band = -(-band // align) * align
-
-    # halo: smallest align-multiple divisor of step covering band - step
-    halo = 0
-    need = band - step
-    if need > 0:
-        for h in range(align, step + 1, align):
-            if step % h == 0 and h >= need:
-                halo = h
-                break
-        if halo:
-            band = step + halo
-        # halo == 0 with need > 0 => Element-mode fallback for this axis
-
-    n_pad = step * (n_tiles - 1) + band
-    n_pad = max(n_pad, pad_lo + ax.n_src)
-    n_pad = -(-n_pad // align) * align
-    pad_hi = n_pad - pad_lo - ax.n_src
-    return _Axis(tile, n_tiles, step, band, pad_lo, pad_hi, n_pad, halo), 0
 
 
 def _single_plane_ok(blocks: np.ndarray, axis: int) -> bool:
@@ -378,14 +316,6 @@ def _pick_groups(blocks: np.ndarray, *, out_is_m: bool, other_dim: int,
     return best
 
 
-def _tiles(plan: ResizePlan, th_target: int, tw_target: int):
-    if th_target == 0 or tw_target == 0:
-        return _auto_tiles(plan)
-    th = min(-(-plan.y.n_dst // 32) * 32, -(-th_target // 32) * 32)
-    tw = min(-(-plan.x.n_dst // 128) * 128, -(-tw_target // 128) * 128)
-    return th, tw
-
-
 # Auto-tuner cost-model rates, keyed by jax device_kind (prefix match).
 # Measured on the chips we have run on; unknown kinds take the
 # deliberately conservative default, which still yields valid kernels
@@ -420,63 +350,6 @@ def _est_coef_single(ax: AxisPlan) -> bool:
     return _single_plane_ok(ax.coef.astype(np.int64), axis=1)
 
 
-def _auto_tiles(plan: ResizePlan):
-    """Pick (th, tw) minimizing a simple cost model: MXU flops (band
-    over-fetch scales X flops), per-grid-step overhead, and band DMA.
-    Tile sizes whose band step is exactly affine (tile*src/dst an aligned
-    integer) get a discount: their coefficient blocks are identical across
-    tiles and become VMEM-resident (no per-tile streaming, no drift slack).
-    """
-    y, x = plan.y, plan.x
-    r_sh, r_dh = _reduced(y)
-    r_sw, r_dw = _reduced(x)
-    n_cy = 1 if _est_coef_single(y) else 2
-    n_dx = 2 if _est_coef_single(x) else 4   # hi/lo X split dot count
-    mxu_r, step_r, dma_r, _div_r = _tuner_rates()
-    best, best_cost = None, float("inf")
-    for th in (96, 128, 192, 256):
-        th_eff = min(-(-y.n_dst // 32) * 32, th)
-        for tw in (128, 256, 384, 512):
-            tw_eff = min(-(-x.n_dst // 128) * 128, tw)
-            y_affine = (th_eff * r_sh) % (r_dh * 32) == 0
-            x_affine = (tw_eff * r_sw) % (r_dw * 128) == 0
-            ty, _ = _tile_axis(y, th_eff, 32)
-            tx, _ = _tile_axis(x, tw_eff, 128)
-            n_tiles = ty.n_tiles * tx.n_tiles
-            rows_pad = ty.n_tiles * th_eff
-            cols_pad = tx.n_tiles * tw_eff
-            flops = 2 * (rows_pad * tx.n_tiles * tx.band * ty.band * n_cy  # Y
-                         + rows_pad * cols_pad * tx.band * n_dx)           # X
-            dma = n_tiles * (ty.band * tx.band)            # u8 band
-            # coefficient streaming: per-tile unless exactly affine
-            dma += (1 if x_affine else n_tiles) * 2 * tx.band * tw_eff * 2
-            dma += (1 if y_affine else n_tiles) * n_cy * th_eff * ty.band * 2
-            cost = flops / mxu_r + n_tiles * step_r + dma / dma_r
-            # VMEM feasibility
-            est = (ty.band * tx.band + 4 * th_eff * tx.band
-                   + 2 * 2 * th_eff * ty.band + 2 * 2 * tx.band * tw_eff
-                   + 4 * 4 * th_eff * tw_eff)
-            if est > _VMEM_TILE_BUDGET:
-                continue
-            if cost < best_cost:
-                best, best_cost = (th_eff, tw_eff), cost
-    return best if best else (128, 128)
-
-
-def _exact_s8_ok(plan: ResizePlan) -> bool:
-    """True when the all-integer s8 schemes cover this plan exactly with
-    NO floating-point bounds: s8 Y (taps fit int8) + s8 4-dot X (taps
-    split into s8 planes).  i32 accumulation wraps mod 2**32 like the
-    reference's C arithmetic, so tap counts and sums are unrestricted.
-    Block values equal plan.coef values (taps of one output land on
-    consecutive distinct source indices), so the plan tables are the
-    right thing to gate on."""
-    y, x = plan.y, plan.x
-    return (plan.wrap16
-            and int(y.coef.min()) >= -128 and int(y.coef.max()) <= 127
-            and int(x.coef.min()) >= -32768 and int(x.coef.max()) <= 32639)
-
-
 def _u16_work_ok(plan: ResizePlan) -> bool:
     """Whether a non-wrap16 plan's work rows provably stay in u16:
     unsigned Y taps with per-row sums <= 256 give w <= 255*256 = 65280
@@ -486,36 +359,6 @@ def _u16_work_ok(plan: ResizePlan) -> bool:
     y = plan.y
     return (int(y.coef.min()) >= 0
             and int(y.coef.astype(np.int64).sum(axis=1).max()) <= 256)
-
-
-def _exact_s8x_ok(plan: ResizePlan) -> bool:
-    """Non-wrap16 extension of the all-integer s8 X scheme: work rows in
-    u16 (see _u16_work_ok) split into two u8 planes, both rebased to s8
-    with the static correction 128*257*colsum(c); coefficients split
-    like the wrap16 case (the [-32768, 32639] cap keeps the balanced hi
-    plane inside int8 — area's lone full-weight tap 32768 is the one
-    excluded value).  i32 accumulation wraps mod 2**32 like the C
-    accumulator, so tap counts and sums are unrestricted (this is what
-    admits 512-tap area extreme downscales that overflow the bf16
-    byte-plane bounds).  The Y side must also be exact: nonneg Q8 taps
-    <= 256 are single-bf16-plane exact (any integer in [-256, 256] is
-    bf16-exact and row sums <= 256 keep f32 sums < 2**24)."""
-    x = plan.x
-    return (not plan.wrap16 and _u16_work_ok(plan)
-            and int(x.coef.min()) >= -32768 and int(x.coef.max()) <= 32639)
-
-
-def _exact_single_ok(plan: ResizePlan) -> bool:
-    """Both axes exactly served by single bf16 coefficient planes (see
-    _single_plane_ok — bf16-exact values, bounded sums; tap count
-    unrestricted).  Covers e.g. identity axes (one 2**15 tap) and exact
-    power-of-two Area ratios with huge tap counts.  Non-wrap16 plans
-    additionally need the u16 work guarantee so the X pass's work-side
-    byte split is exact."""
-    if not (plan.wrap16 or _u16_work_ok(plan)):
-        return False
-    return (_single_plane_ok(plan.y.coef.astype(np.int64), axis=1)
-            and _single_plane_ok(plan.x.coef.astype(np.int64), axis=1))
 
 
 def _exact_f32_ok(plan: ResizePlan) -> bool:
@@ -530,35 +373,72 @@ def _exact_f32_ok(plan: ResizePlan) -> bool:
     return True
 
 
-def _plan_ok(plan: ResizePlan, th_target: int, tw_target: int) -> bool:
-    y, x = plan.y, plan.x
-    if not _exact_f32_ok(plan):
-        return False
-    th, tw = _tiles(plan, th_target, tw_target)
-    ty, _ = _tile_axis(y, th, 32)
-    tx, _ = _tile_axis(x, tw, 128)
-    # rough VMEM pre-gate (the padless builder re-checks with the actual
-    # operand shapes and returns None when infeasible): band + work +
-    # coef blocks + dot temps
-    est = (ty.band * tx.band            # u8 band
-           + 4 * th * tx.band           # i32 work
-           + 2 * 2 * th * ty.band       # Y blocks (<=2 planes)
-           + 3 * 2 * tx.band * tw       # X blocks (<=3 Karatsuba planes)
-           + 4 * 4 * th * tw)           # dot temps
-    return est <= _VMEM_TILE_BUDGET
+# One feasibility model: the padless builder itself.  supports_plan used
+# to pre-gate with a separate cost estimator (_plan_ok/_tile_axis/_auto_tiles,
+# a pre-padless relic): a plan whose crude estimate busted the VMEM budget
+# but whose actual padless build (pre-sliced X group windows, much smaller
+# operands) would fit was silently routed to the ~12x slower XLA path.
+# Now supports_plan simply attempts the build and caches the result, so the
+# predicate can never disagree with make_resize_fn
+# (tests/test_supports_plan.py fuzzes this consistency).
+_BUILD_CACHE: collections.OrderedDict = collections.OrderedDict()
+_BUILD_CACHE_MAX = 6
+
+
+def _plan_key(plan: ResizePlan):
+    """Content fingerprint of a plan plus every build-shaping env knob
+    (LIBIQO_TPU_* flags change tiling/scheme choices at build time, so two
+    builds under different knobs must not share a cache slot)."""
+    def ax(a: AxisPlan):
+        return (a.n_src, a.n_dst, a.num_coefs, a.num_tables, a.bias_bit,
+                a.coef.tobytes(), a.start.tobytes(), a.deno.tobytes(),
+                a.is_border.tobytes())
+    env = tuple(sorted((k, v) for k, v in os.environ.items()
+                       if k.startswith("LIBIQO_TPU_")))
+    return (ax(plan.y), ax(plan.x), plan.wrap16, plan.out_shift, env)
+
+
+def _cached_build(plan: ResizePlan, *, interpret: bool, th_target: int,
+                  tw_target: int, grid_order: str, relaxed: bool):
+    """LRU-cached _make_padless_fn: one host-side build per distinct
+    (plan, knobs) serves both the supports_plan predicate and the actual
+    make_resize_fn call (builds are pure; returning the same (fn, operands)
+    is safe).  None results (infeasible) are cached too — they ARE the
+    feasibility answer."""
+    key = (_plan_key(plan), interpret, th_target, tw_target, grid_order,
+           relaxed)
+    if key in _BUILD_CACHE:
+        _BUILD_CACHE.move_to_end(key)
+        return _BUILD_CACHE[key]
+    built = _make_padless_fn(plan, interpret=interpret, th_target=th_target,
+                             tw_target=tw_target, grid_order=grid_order,
+                             relaxed=relaxed)
+    _BUILD_CACHE[key] = built
+    if len(_BUILD_CACHE) > _BUILD_CACHE_MAX:
+        _BUILD_CACHE.popitem(last=False)
+    return built
 
 
 def supports_plan(plan: ResizePlan, th_target: int = 0,
                   tw_target: int = 0, relaxed: bool = False) -> bool:
-    """True when the fused kernel path handles this plan exactly (see
-    module docstring); otherwise callers use ops.xla_resize.
-    th/tw_target of 0 = auto-tuned tile sizes.  ``relaxed`` plans have no
-    numeric gates (only the VMEM envelope, checked at build time)."""
-    return (relaxed
-            or _plan_ok(plan, th_target, tw_target)
-            or _exact_s8_ok(plan)
-            or _exact_s8x_ok(plan)
-            or _exact_single_ok(plan))
+    """True when the fused kernel path handles this plan exactly; otherwise
+    callers use ops.xla_resize.  th/tw_target of 0 = auto-tuned tiles.
+
+    The answer is the padless builder's own: supports_plan attempts the
+    (cached) build, so it cannot disagree with make_resize_fn — the
+    NULL-factory dispatch analog (ref: src/IQOLanczosResizer.cpp:15-37,
+    where a factory compiled without ISA support returns NULL and the
+    facade walks to the next arch).
+
+    ``relaxed`` plans answer True unconditionally (the documented fallback
+    seam, tests/test_fallback_seams.py): their envelope is wider and only
+    the build itself knows it — api.py's retry ladder catches the
+    ValueError and walks relaxed -> exact -> XLA."""
+    if relaxed:
+        return True
+    return _cached_build(plan, interpret=False, th_target=th_target,
+                         tw_target=tw_target, grid_order="xy",
+                         relaxed=False) is not None
 
 
 # ---------------------------------------------------------------------------
@@ -1833,12 +1713,10 @@ def make_resize_fn(plan: ResizePlan, *, interpret: bool = False,
     if mode not in ("auto", "padless"):
         raise ValueError(f"unknown pallas mode {mode!r} (padded mode was "
                          "removed; use the xla backend instead)")
-    if not supports_plan(plan, th_target, tw_target, relaxed=relaxed):
-        raise ValueError("plan not supported by the pallas path; use xla_resize")
-    built = _make_padless_fn(plan, interpret=interpret,
-                             th_target=th_target, tw_target=tw_target,
-                             grid_order=grid_order, relaxed=relaxed)
+    built = _cached_build(plan, interpret=interpret, th_target=th_target,
+                          tw_target=tw_target, grid_order=grid_order,
+                          relaxed=relaxed)
     if built is None:
         raise ValueError("pallas padless build infeasible for this plan "
-                         "(VMEM envelope); use xla_resize")
+                         "(exactness scheme or VMEM envelope); use xla_resize")
     return built

@@ -192,8 +192,8 @@ def _make_row_sharded_pallas(plan: ResizePlan, mesh: Mesh, axis: str,
     union_border = y.is_border.reshape(n, hd).any(axis=0)
     y_tmpl = local_axis(0, union_border, y.deno[:hd])
     plan_loc = dataclasses.replace(plan, y=y_tmpl)
-    if not pallas_resize.supports_plan(plan_loc):
-        return None
+    # feasibility is the builder's own answer (no separate pre-gate): a
+    # None build falls back to the dense formulation in the caller
     built = pallas_resize._make_padless_fn(plan_loc, interpret=interpret,
                                            force_streamed_y=True)
     if built is None:

@@ -117,14 +117,15 @@ def test_512_tap_area_on_fast_path():
 
 
 def test_unsupported_geometry_falls_back():
-    # the coefficient-exactness gates now cover every plan the oracle
-    # accepts; the remaining pallas rejection is a VMEM-infeasible build
-    # (200k source rows => the band blows the per-tile budget), which
-    # raises ValueError and the api falls back transparently to XLA
+    # the remaining pallas rejection class is a VMEM-infeasible build
+    # (200k source rows => the band blows the per-tile budget).  Since the
+    # predicate IS the (cached) build (tests/test_supports_plan.py), it
+    # answers False here, make_resize_fn raises ValueError, and the api
+    # falls back transparently to XLA
     plan = build_plan("area", 16, 200000, 16, 31)
-    assert pallas_resize.supports_plan(plan)   # gates pass...
+    assert not pallas_resize.supports_plan(plan)
     with pytest.raises(ValueError):
-        pallas_resize.make_resize_fn(plan, interpret=True)  # ...build can't
+        pallas_resize.make_resize_fn(plan, interpret=True)
     from libiqo_tpu import AreaResizer
 
     r = AreaResizer(16, 200000, 16, 31, backend="pallas")

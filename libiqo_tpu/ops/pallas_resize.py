@@ -811,14 +811,22 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             and grid_order == "xy"):
         carry = _carry_layout(py, band_w)
 
+    # Measurement knob (exp_band_shape follow-up): force the per-tile
+    # streamed coefficient path instead of resident scratch + first-step
+    # copies, to expose what the resident copy costs per call.
+    # "1" streams both sides, "y"/"x" streams only that side (an X-only
+    # stream with n_tx == 1 has a constant block index, which Mosaic
+    # fetches once — resident semantics without the manual copy)
+    _no_res = _os.environ.get("LIBIQO_TPU_NO_RESIDENT", "")
     blocks_y = _build_blocks_padless(y, py, transpose=False)
     vy = _dedup_blocks(blocks_y)
-    y_res = (not force_streamed_y
+    y_res = (not force_streamed_y and _no_res not in ("1", "y")
              and len(vy.uniq) <= _MAX_RESIDENT_VARS
              and len(vy.exceptions) <= _MAX_EXCEPTIONS)
     blocks_x = _build_blocks_padless(x, px, transpose=True)
     vx = _dedup_blocks(blocks_x)
-    x_res = (len(vx.uniq) <= _MAX_RESIDENT_VARS
+    x_res = (_no_res not in ("1", "x")
+             and len(vx.uniq) <= _MAX_RESIDENT_VARS
              and len(vx.exceptions) <= _MAX_EXCEPTIONS)
 
     cy_src = vy.uniq if y_res else blocks_y
@@ -1104,6 +1112,17 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         cs = factor * x.coef.astype(np.int64).sum(axis=1)
         corr_x[0, : x.n_dst] = ((cs + 2**31) & (2**32 - 1)) - 2**31
 
+    # Pack the per-tile epilogue operands into ONE row block and ONE col
+    # block: six separate (th,1)/(1,tw) streams cost six tiny window DMAs
+    # per grid step, measured ~2-4 us/frame on 4K luma (round-5
+    # exp_band_shape 'streams' bisection).  The kernel slices the packed
+    # lanes/sublanes back out — static sub-vreg slices, near-free.
+    y_epi = np.concatenate(
+        [deno_y, border_y] + ([corr_y] if s8_y else []), axis=1)
+    x_epi = np.concatenate(
+        [deno_x, border_x] + ([corr_x] if x_s8 else []), axis=0)
+    n_ye, n_xe = y_epi.shape[1], x_epi.shape[0]
+
     f32 = jnp.float32
     # dot operand dtype: bf16 on real TPU silicon; f32 under interpret
     # (XLA:CPU's emulated bf16 matmul corrupts the heap on odd-width
@@ -1174,14 +1193,29 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
             cy_in = refs[1:1 + n_cy]
             cx_in = refs[1 + n_cy:1 + n_cy + n_cx_ops]
             k0_ = 1 + n_cy + n_cx_ops
-            n_tail = 5 + int(s8_y) + int(x_s8)
-            tail = iter(refs[k0_:k0_ + n_tail])
-            scratch = refs[k0_ + n_tail:]
-            dy_ref, by_ref = next(tail), next(tail)
-            cr_ref = next(tail) if s8_y else None
-            dx_ref, bx_ref = next(tail), next(tail)
-            cxc_ref = next(tail) if x_s8 else None
-            out_ref = next(tail)
+            ye_ref, xe_ref, out_ref = refs[k0_:k0_ + 3]
+            scratch = refs[k0_ + 3:]
+
+            # unpack the packed epilogue blocks: lane slices of (th, n_ye)
+            # and sublane slices of (n_xe, tw) — static sub-vreg selects
+            class _Col:
+                def __init__(self, j):
+                    self._j = j
+
+                def __getitem__(self, _):
+                    return ye_ref[...][:, self._j:self._j + 1]
+
+            class _Row:
+                def __init__(self, i):
+                    self._i = i
+
+                def __getitem__(self, _):
+                    return xe_ref[...][self._i:self._i + 1, :]
+
+            dy_ref, by_ref = _Col(0), _Col(1)
+            cr_ref = _Col(2) if s8_y else None
+            dx_ref, bx_ref = _Row(0), _Row(1)
+            cxc_ref = _Row(2) if x_s8 else None
 
             if n_sc:
                 sem = scratch[n_sc]
@@ -1192,9 +1226,17 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                 def _():
                     srcs = (tuple(cy_in) if y_res else ()) + \
                            (tuple(cx_in) if x_res else ())
-                    for k, (s, d) in enumerate(zip(srcs, scratch[:n_sc])):
-                        cp = pltpu.make_async_copy(s, d, sem.at[k])
+                    # start every copy before waiting on any: the
+                    # serialized start/wait form paid one DMA round-trip
+                    # latency PER SLAB (~30 slabs on 4K luma) every call,
+                    # i.e. every frame in construct-per-frame serving
+                    # (round-5 exp_band_shape bisection)
+                    cps = [pltpu.make_async_copy(s, d, sem.at[k])
+                           for k, (s, d) in
+                           enumerate(zip(srcs, scratch[:n_sc]))]
+                    for cp in cps:
                         cp.start()
+                    for cp in cps:
                         cp.wait()
 
             if carry is not None:
@@ -1606,18 +1648,10 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
                           pipeline_mode=_band_mode)),
             *[_coef_spec(y_res, cy_ops, i, g_y) for i in range(n_cy)],
             *[_coef_spec(x_res, cx_ops, i, g_x) for i in range(n_cx_ops)],
-            pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0),
+            pl.BlockSpec((th, n_ye), lambda *g: (g[g_y], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0),
+            pl.BlockSpec((n_xe, tw), lambda *g: (0, g[g_x]),
                          memory_space=pltpu.VMEM),
-            *([pl.BlockSpec((th, 1), lambda *g: (g[g_y], 0),
-                            memory_space=pltpu.VMEM)] if s8_y else []),
-            pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]),
-                         memory_space=pltpu.VMEM),
-            *([pl.BlockSpec((1, tw), lambda *g: (0, g[g_x]),
-                            memory_space=pltpu.VMEM)] if x_s8 else []),
         ]
 
     def make_out_spec(bf):
@@ -1680,9 +1714,7 @@ def _make_padless_fn(plan: ResizePlan, *, interpret: bool = False,
         out = get_call(flat.shape[0])(flat, *ops)
         return out.reshape(batch_shape + out.shape[-2:])
 
-    operands = (*cy_ops, *cx_ops, deno_y, border_y,
-                *((corr_y,) if s8_y else ()), deno_x, border_x,
-                *((corr_x,) if x_s8 else ()))
+    operands = (*cy_ops, *cx_ops, y_epi, x_epi)
     # layout metadata for shard_map callers (parallel/sharding.py):
     # n_cy/n_cx count OPERAND ARRAYS (X planes are pre-sliced per group)
     fn.n_cy, fn.n_cx = n_cy, n_cx_ops

@@ -216,20 +216,19 @@ def _make_row_sharded_pallas(plan: ResizePlan, mesh: Mesh, axis: str,
     cy_dev = [np.asarray(p) for p in planes]      # (n, n_ty, th, band_h)
 
     n_rows_pad = py.n_tiles * th
-    deno_dev = np.ones((n, n_rows_pad, 1), np.int32)
-    border_dev = np.zeros((n, n_rows_pad, 1), np.int32)
+    # the packed Y epilogue block (deno | border; force_streamed_y
+    # disables s8_y, so no corr_y column) gets per-device values
+    ye_dev = np.ones((n, n_rows_pad, 2), np.int32)
+    ye_dev[:, :, 1] = 0
     for d in range(n):
         sl = slice(d * hd, (d + 1) * hd)
-        deno_dev[d, :hd, 0] = np.where(y.deno[sl] == 0, 1, y.deno[sl])
-        border_dev[d, :hd, 0] = y.is_border[sl].astype(np.int32)
+        ye_dev[d, :hd, 0] = np.where(y.deno[sl] == 0, 1, y.deno[sl])
+        ye_dev[d, :hd, 1] = y.is_border[sl].astype(np.int32)
 
-    # tail = (deno_y, border_y, deno_x, border_x[, corr_x]): the Y-side pair
-    # is replaced with per-device values; everything after is X-side and
-    # replicated verbatim (force_streamed_y disables s8_y, so no corr_y)
-    rest = tmpl_ops[n_cy + n_cx:]
+    # tail = (y_epi, x_epi): Y-side packed block replaced with per-device
+    # values; the X-side packed block is replicated verbatim
     cx_ops = tmpl_ops[n_cy:n_cy + n_cx]
-    x_tail = rest[2:]
-    n_xt = len(x_tail)
+    x_epi = tmpl_ops[n_cy + n_cx + 1]
 
     from jax import shard_map
 
@@ -237,24 +236,23 @@ def _make_row_sharded_pallas(plan: ResizePlan, mesh: Mesh, axis: str,
         *ops, src = args
         cy = [o[0] for o in ops[:n_cy]]           # squeeze device dim
         cx = ops[n_cy:n_cy + n_cx]
-        dy, by = ops[n_cy + n_cx][0], ops[n_cy + n_cx + 1][0]
-        xt = ops[n_cy + n_cx + 2:]
+        ye = ops[n_cy + n_cx][0]
+        xe = ops[n_cy + n_cx + 1]
 
         band = _halo_exchange(src, axis, n, halo_up, halo_dn)
-        return fn(*cy, *cx, dy, by, *xt, band)
+        return fn(*cy, *cx, ye, xe, band)
 
     src_spec = P(data_axis, axis, None) if data_axis else P(axis, None)
     in_specs = (
         *[P(axis, None, None, None)] * n_cy,      # per-device Y blocks
         *[P()] * n_cx,                            # replicated X blocks
-        P(axis, None, None),                      # deno_y
-        P(axis, None, None),                      # border_y
-        *[P()] * n_xt,                            # deno_x, border_x[, corr_x]
+        P(axis, None, None),                      # y_epi (deno | border)
+        P(),                                      # x_epi (replicated)
         src_spec,                                 # src rows
     )
     sm = shard_map(local_fn, mesh=mesh, in_specs=in_specs,
                    out_specs=src_spec, check_vma=False)
-    operands = (*cy_dev, *cx_ops, deno_dev, border_dev, *x_tail)
+    operands = (*cy_dev, *cx_ops, ye_dev, x_epi)
     return jax.jit(sm), operands
 
 

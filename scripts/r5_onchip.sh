@@ -46,5 +46,9 @@ run cli_amortized  python -m libiqo_tpu.cli.benchmark -m lanczos3 \
                        -iw 3840 -ih 2160 -ow 1920 -oh 1080 --cycles 64 \
                        --amortized
 run configs        python scripts/bench_configs.py
+run configs_rel    python scripts/bench_configs.py --relaxed
+run video64        python scripts/bench_video64.py
+run ablate_luma    python scripts/exp_ablate_stages.py luma
+run ablate_upsample python scripts/exp_ablate_stages.py upsample
 run dma_ceiling    python scripts/exp_dma_ceiling.py
 run blocked_halo   python scripts/exp_blocked_halo.py

@@ -38,7 +38,7 @@ run() {  # resumable: a step that already succeeded is skipped
     tail -n 20 "$LOG/$name.log" | sed 's/^/    /'
 }
 
-run tpu_check      python scripts/tpu_check.py
+run tpu_check      python scripts/tpu_check.py --fuzz 40
 run bench          python bench.py
 run cli_protocol   python -m libiqo_tpu.cli.benchmark -m lanczos3 \
                        -iw 3840 -ih 2160 -ow 1920 -oh 1080 --cycles 64
